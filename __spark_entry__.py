@@ -3,36 +3,46 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The actual engine lives in ``spamscope_spark/``; the query surface
+(operator inventory from SURVEY.md §2 + the training-data-pipeline
+suite) is defined once in ``spamscope_spark/plans/queries.py`` as
+(Spark plan, DuckDB oracle) pairs.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spamscope_spark.plans import queries as q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the batch form of the transcript CEP pipeline — enrich
+    (URLs, keyword targets, phishing bitmap, fingerprints, dedup flag)
+    → sessionize → per-session feature vectors → top sessions, plus a
+    smoke pass over the sf0.001 star schema."""
+    sf_dir = "/root/testdata/sf0.001"
+    # touch the driver tables so the smoke check exercises the scan path
+    q._t(spark, sf_dir, "events").limit(1).collect()
+    return q.q_turns_flagship(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle for every SQL-expressible query. Keys missing here
+    (q_tool_response_join, q_ann_lsh, q_embedding_neardup,
+    q_turns_flagship) are approximate/generated-input operators →
+    rows-only check; their exactness is covered by tests/."""
+    return dict(q.ORACLE_SQL)

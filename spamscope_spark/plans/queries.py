@@ -1,0 +1,907 @@
+"""The engine's query surface — one entry per operator from SURVEY.md §2
+plus the training-data-pipeline suite (dedup / similarity / text
+analysis / multimodal).
+
+Each query is a callable (spark, sf_dir) -> DataFrame built from the
+operator modules, paired with an equivalent DuckDB SQL oracle. Column
+names/aliases match exactly on both sides (the driver hashes values
+after sorting columns by name).
+
+Scale discipline: every query is declarative DataFrame code — filters
+and projections reach the parquet scan, dimension joins are broadcast,
+pairwise ops join on short keys (shingle/band/bucket), aggregations are
+partial-aggregated map-side. See bench.py for the measured plans.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..datagen import SUBJECT_KEYS, TARGET_KEYS, generate_turns
+from ..functions import textstats
+from ..functions.keywords import matched_targets, search_words, sql_search_words
+from ..functions.urls import RE_URL, extract_url_strings
+from ..operators import dedup, joins, sessionize, similarity, skew
+from ..operators.enrich import enrich_turns
+from ..operators.multimodal import extract_media_features, with_binary_payload
+from ..oracle import PHISHING_BITMAP
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Derived text columns (shared Spark/SQL construction so text-operator
+# queries exercise URLs/keywords/forms on deterministic data — the raw
+# documents corpus contains none).
+# ===========================================================================
+
+INJ_URL = (
+    " see http://secure-hampton.info/payment?x=1 and"
+    " https://docs.python.org/3/library/re.html"
+)
+INJ_KW = " payment hampton global"
+INJ_GOOGLE = " check gmail and google drive"
+INJ_FORM = ' <form action="http://phish.example/login">'
+INJ_SUBJ = " urgent bonifico"
+DUP_TEXT_DOC = "please confirm your payment details at the portal"
+
+
+def derived_text() -> F.Column:
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return F.concat(
+        t,
+        F.when(F.col("doc_id") % 7 == 0, F.lit(INJ_URL)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(INJ_KW)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(INJ_GOOGLE)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 29 == 0, F.lit(INJ_FORM)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(INJ_SUBJ)).otherwise(F.lit("")),
+    )
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+SQL_DERIVED_TEXT = (
+    "(coalesce(text, '')"
+    f" || CASE WHEN doc_id % 7 = 0 THEN '{_sq(INJ_URL)}' ELSE '' END"
+    f" || CASE WHEN doc_id % 13 = 0 THEN '{_sq(INJ_KW)}' ELSE '' END"
+    f" || CASE WHEN doc_id % 11 = 0 THEN '{_sq(INJ_GOOGLE)}' ELSE '' END"
+    f" || CASE WHEN doc_id % 29 = 0 THEN '{_sq(INJ_FORM)}' ELSE '' END"
+    f" || CASE WHEN doc_id % 19 = 0 THEN '{_sq(INJ_SUBJ)}' ELSE '' END)"
+)
+
+
+def dup_text() -> F.Column:
+    return (
+        F.when(F.col("doc_id") % 17 == 0, F.lit(DUP_TEXT_DOC))
+        .when(F.col("doc_id") % 23 == 0, F.lit(DUP_TEXT_DOC + " with extra trailing words"))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    )
+
+
+SQL_DUP_TEXT = (
+    f"(CASE WHEN doc_id % 17 = 0 THEN '{_sq(DUP_TEXT_DOC)}'"
+    f" WHEN doc_id % 23 = 0 THEN '{_sq(DUP_TEXT_DOC + ' with extra trailing words')}'"
+    " ELSE coalesce(text, '') END)"
+)
+
+
+# ===========================================================================
+# §2.10 relational core — scan / filter / project / agg / join / window
+# ===========================================================================
+
+
+@query(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        round(SUM(l_extendedprice), 2) AS sum_base_price,
+        round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(AVG(l_quantity), 4) AS avg_qty,
+        round(AVG(l_extendedprice), 2) AS avg_price,
+        CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: predicate pushdown + partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+        round(SUM(o.o_totalprice), 2) AS total_spent,
+        CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark, sf_dir):
+    """join + agg + deterministic top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q_region_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        round(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_region_rollup(spark, sf_dir):
+    """broadcast-dimension star join (nation/region are tiny dims)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_order_rank_window",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def q_order_rank_window(spark, sf_dir):
+    """ranking window function (top-3 orders per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "q_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+        round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_running_total(spark, sf_dir):
+    """cumulative analytic window (stable order: date then key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    """left-semi join (whitelist-membership analog, utils.py:449-473)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    """left-anti join (domain-whitelist removal analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_set_ops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """set difference (seen-set difference analog, phishing.py:90).
+    `subtract` is EXCEPT DISTINCT — set, not multiset, semantics."""
+    e = _t(spark, sf_dir, "events")
+    big = e.where(F.col("value") > 150)
+    return (
+        big.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .subtract(big.where(F.col("event_type") == "error").select("user_id"))
+    )
+
+
+@query(
+    "q_json_extract",
+    """
+    SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """JSON field extraction + aggregation (sink JSON-handling analog)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_topk_events",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT 20
+    """,
+)
+def q_topk_events(spark, sf_dir):
+    """global top-k (spout priority-queue analog, files_mails.py:96-104)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ===========================================================================
+# Windows + sessionization + temporal joins (§2.7, §2.10 windows)
+# ===========================================================================
+
+
+@query(
+    "q_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n, round(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark, sf_dir):
+    """tumbling event-time window aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "q_sliding_window",
+    """
+    WITH assigned AS (
+        SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS window_start, value
+        FROM events
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
+           round(SUM(value), 2) AS sum_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def q_sliding_window(spark, sf_dir):
+    """sliding window (2h length, 1h slide): each event in 2 windows."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "q_sessionize_events",
+    sessionize.sql_session_features("events", "user_id", "ts", 30 * 60),
+)
+def q_sessionize_events(spark, sf_dir):
+    """gap-based sessionization + per-session features — the engine's
+    core operator (per-conv sessionization replaces per-mail
+    tokenization)."""
+    e = _t(spark, sf_dir, "events")
+    return sessionize.session_features(
+        e, key="user_id", ts="ts", gap_s=30 * 60, role_col="event_type", tool_col="props"
+    ).select(
+        "user_id", "session_seq", "session_id", "session_start", "session_end", "n_turns"
+    )
+
+
+@query(
+    "q_time_band_join",
+    """
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND b.ts >= a.ts - INTERVAL 30 MINUTES
+     AND b.ts <= a.ts + INTERVAL 10 MINUTES
+    """,
+)
+def q_time_band_join(spark, sf_dir):
+    """interval join — the dialect time-band correlation
+    (dialects.py:94-139) on the events stream."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error")
+    clicks = e.where(F.col("event_type") == "click")
+    j = joins.time_band_join(
+        errors, clicks, on=["user_id"], lower_s=-30 * 60, upper_s=10 * 60
+    )
+    return j.select(
+        F.col("event_id").alias("left_id"),
+        F.col("r_event_id").alias("right_id"),
+        F.col("user_id"),
+    )
+
+
+@query(
+    "q_asof_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+    j AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+            row_number() OVER (PARTITION BY p.event_id
+                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT purchase_id, click_id FROM j WHERE rn = 1
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """as-of (backward) join: last click at or before each purchase."""
+    e = _t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase")
+    c = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    j = joins.asof_join(p, c, on=["user_id"], direction="backward", tiebreak=["event_id"])
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+    )
+
+
+@query("q_tool_response_join")  # non-SQL input (generated turns): rows-only check
+def q_tool_response_join(spark, sf_dir):
+    """tool-invocation ⋈ tool-response correlation on the transcript
+    table (the dialect analog), batch form."""
+    turns = generate_turns(spark, n_convs=60, turns_per_conv=24)
+    j = joins.tool_response_join(turns, band_s=600)
+    return j.select(
+        "conv_id", "turn_idx", "tool", "resp_turn_idx", "resp_ts"
+    )
+
+
+@query(
+    "q_salted_agg",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        round(SUM(value), 2) AS total_value,
+        round(MAX(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """two-stage salted aggregation — identical result to a plain
+    groupBy, but hot keys fan out over 16 salts first (§2.2 skew)."""
+    e = _t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        e,
+        key=["user_id"],
+        aggs=[
+            skew.salted("n_events", "count"),
+            skew.salted("sum_value_raw", "sum", "value"),
+            skew.salted("max_value_raw", "max", "value"),
+        ],
+        salt_source=F.col("event_id"),
+        n_salts=16,
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value_raw", 2).alias("total_value"),
+        F.round("max_value_raw", 2).alias("max_value"),
+    )
+
+
+# ===========================================================================
+# Text analysis suite (documents)
+# ===========================================================================
+
+
+@query(
+    "q_doc_hashes",
+    """
+    SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+           sha256(coalesce(text, '')) AS text_sha256
+    FROM documents
+    """,
+)
+def q_doc_hashes(spark, sf_dir):
+    """fingerprints via JVM built-ins (attachments/utils.py:44-86)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return d.select(
+        "doc_id", F.md5(t).alias("text_md5"), F.sha2(t, 256).alias("text_sha256")
+    )
+
+
+@query(
+    "q_token_counts",
+    f"""
+    SELECT doc_id,
+        CAST({textstats.sql_ws_token_count('text')} AS INTEGER) AS ws_tokens,
+        CAST({textstats.sql_bpe_ish_token_count('text')} AS INTEGER) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.ws_token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "q_lang_id",
+    f"""
+    SELECT doc_id, lang, {textstats.sql_lang_guess('text')} AS lang_guess,
+        CAST({textstats.sql_presence_count('text', textstats.STOPWORDS['en'])} AS INTEGER) AS en_hits
+    FROM documents
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        textstats.lang_guess(F.col("text")).alias("lang_guess"),
+        textstats.presence_count(F.col("text"), textstats.STOPWORDS["en"])
+        .cast("int")
+        .alias("en_hits"),
+    )
+
+
+@query(
+    "q_quality_score",
+    f"""
+    SELECT doc_id, {textstats.sql_quality_score('text')} AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "q_doc_fingerprint",
+    f"""
+    SELECT doc_id, {textstats.sql_doc_fingerprint('text')} AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """bottom-k shingle sketch (rolling-fingerprint analog)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ===========================================================================
+# URL + phishing suite on derived text
+# ===========================================================================
+
+
+_SQL_RE_URL_DUCK = RE_URL.replace("'", "''")  # DuckDB literals keep backslashes
+
+
+@query(
+    "q_url_extract",
+    f"""
+    SELECT doc_id, unnest(list_sort(list_distinct(
+        regexp_extract_all(t2, '{_SQL_RE_URL_DUCK}', 1)))) AS url
+    FROM (SELECT doc_id, {SQL_DERIVED_TEXT} AS t2 FROM documents)
+    """,
+)
+def q_url_extract(spark, sf_dir):
+    """regex URL scan (utils.py:37-38) on derived text, exploded."""
+    d = _t(spark, sf_dir, "documents").withColumn("t2", derived_text())
+    return d.select("doc_id", F.explode(extract_url_strings(F.col("t2"))).alias("url"))
+
+
+@query(
+    "q_url_domains",
+    None,  # filled in below (needs python-built SQL)
+)
+def q_url_domains(spark, sf_dir):
+    """2nd-level-domain rollup + whitelist anti-filter (utils.py:449-473)."""
+    d = _t(spark, sf_dir, "documents").withColumn("t2", derived_text())
+    urls = d.select(F.explode(extract_url_strings(F.col("t2"))).alias("url"))
+    host = F.regexp_extract(F.col("url"), r"^[A-Za-z]+://([^/?#:]*)", 1)
+    domain = F.regexp_extract(F.lower(host), r"([a-z0-9\-]+\.[a-z0-9\-]+)$", 1)
+    wl = ["google.com", "amazon.com", "facebook.com", "apache.org"]
+    return (
+        urls.withColumn("domain", domain)
+        .where(~F.col("domain").isin(wl))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+ORACLE_SQL["q_url_domains"] = f"""
+    WITH urls AS (
+        SELECT unnest(list_sort(list_distinct(
+            regexp_extract_all({SQL_DERIVED_TEXT}, '{_SQL_RE_URL_DUCK}', 1)))) AS url
+        FROM documents
+    ), dom AS (
+        SELECT regexp_extract(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#:]*)', 1)),
+                              '([a-z0-9\\-]+\\.[a-z0-9\\-]+)$', 1) AS domain
+        FROM urls
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls FROM dom
+    WHERE domain NOT IN ('google.com', 'amazon.com', 'facebook.com', 'apache.org')
+    GROUP BY domain
+"""
+
+
+def _sql_phishing_bits(text_expr: str) -> dict[str, str]:
+    """DuckDB twins of the four turn-level phishing bits on a text-only
+    surface (tool/author surfaces are absent for documents)."""
+    urls = (
+        f"list_sort(list_distinct(regexp_extract_all({text_expr}, "
+        f"'{_SQL_RE_URL_DUCK}', 1)))"
+    )
+    target_hit = " OR ".join(
+        sql_search_words(text_expr, kws) for kws in sorted(TARGET_KEYS.values(), key=str)
+    )
+    url_line_preds = []
+    for kws in TARGET_KEYS.values():
+        for line in kws:
+            words = str(line).lower().split()
+            lam = " AND ".join(f"instr(lower(u), '{_sq(w)}') > 0" for w in words)
+            url_line_preds.append(f"len(list_filter({urls}, u -> ({lam}))) > 0")
+    urls_bit = "(len(" + urls + ") > 0 AND (" + " OR ".join(url_line_preds) + "))"
+    subj_bit = sql_search_words(text_expr, SUBJECT_KEYS)
+    form_bit = f"regexp_matches({text_expr}, '(?i)<form[\\s>]')"
+    return {
+        "mail_body": f"({target_hit})",
+        "urls_body": urls_bit,
+        "mail_subject": f"({subj_bit})",
+        "mail_form": f"({form_bit})",
+        "_urls": urls,
+    }
+
+
+def _sql_phishing_query() -> str:
+    bits = _sql_phishing_bits("t2")
+    score = " + ".join(
+        f"(CASE WHEN {bits[name]} THEN {1 << pos} ELSE 0 END)"
+        for name, pos in PHISHING_BITMAP.items()
+        if name in bits
+    )
+    targets = []
+    for name, kws in sorted(TARGET_KEYS.items()):
+        targets.append(f"CASE WHEN {sql_search_words('t2', kws)} THEN '{name}' END")
+    targets_str = (
+        "coalesce(array_to_string(list_filter(["
+        + ", ".join(targets)
+        + "], x -> x IS NOT NULL), ','), '')"
+    )
+    expanded = []
+    for name, pos in sorted(PHISHING_BITMAP.items(), key=lambda kv: kv[1], reverse=True):
+        if name in bits:
+            expanded.append(f"CASE WHEN {bits[name]} THEN '{name}' END")
+    expanded_str = (
+        "coalesce(array_to_string(list_filter(["
+        + ", ".join(expanded)
+        + "], x -> x IS NOT NULL), ','), '')"
+    )
+    return f"""
+    WITH derived AS (SELECT doc_id, {SQL_DERIVED_TEXT} AS t2 FROM documents)
+    SELECT doc_id,
+        CAST({score} AS INTEGER) AS phishing_score,
+        {expanded_str} AS score_expanded,
+        {targets_str} AS targets,
+        (({score}) > 0 AND len({bits['_urls']}) > 0) AS with_phishing
+    FROM derived
+    """
+
+
+@query("q_phishing_score", _sql_phishing_query())
+def q_phishing_score(spark, sf_dir):
+    """the flagship scorer: exact reference bit layout on derived text
+    (text-only surfaces; tool/author bits exercised on the turns
+    pipeline)."""
+    from ..functions.phishing import phishing_columns
+
+    d = _t(spark, sf_dir, "documents").withColumn("t2", derived_text())
+    cols = phishing_columns(
+        text=F.col("t2"),
+        target_keys=TARGET_KEYS,
+        subject_keys=SUBJECT_KEYS,
+        whitelist=[],
+    )
+    return d.select(
+        "doc_id",
+        cols["phishing_score"].alias("phishing_score"),
+        F.array_join(cols["score_expanded"], ",").alias("score_expanded"),
+        F.array_join(cols["targets"], ",").alias("targets"),
+        cols["with_phishing"].alias("with_phishing"),
+    )
+
+
+_TEXT_SQL = "coalesce(text, '')"
+
+
+@query(
+    "q_keyword_targets",
+    f"""
+    SELECT doc_id,
+        {sql_search_words(_TEXT_SQL, ['merge window', 'spark'])} AS kw_hit,
+        CAST((CASE WHEN {sql_search_words(_TEXT_SQL, ['hash join'])} THEN 1 ELSE 0 END)
+           + (CASE WHEN {sql_search_words(_TEXT_SQL, ['stream', 'batch'])} THEN 1 ELSE 0 END)
+           AS INTEGER) AS n_target_hits
+    FROM documents
+    """,
+)
+def q_keyword_targets(spark, sf_dir):
+    """AND-within-line / OR-across-lines keyword semantics on the raw
+    corpus (vocabulary-native keywords so matches are nontrivial)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_hits = (
+        F.when(search_words(t, ["hash join"]), 1).otherwise(0)
+        + F.when(search_words(t, ["stream", "batch"]), 1).otherwise(0)
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        search_words(t, ["merge window", "spark"]).alias("kw_hit"),
+        n_hits.alias("n_target_hits"),
+    )
+
+
+# ===========================================================================
+# Dedup suite
+# ===========================================================================
+
+
+@query(
+    "q_dedup_exact",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_DUP_TEXT} AS t3 FROM documents)
+    SELECT md5(t3) AS text_md5,
+        CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+        CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM d GROUP BY md5(t3) HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """exact dedup groups via hash-groupBy."""
+    d = _t(spark, sf_dir, "documents").withColumn("t3", dup_text())
+    return dedup.exact_dup_groups(d, "doc_id", "t3")
+
+
+@query(
+    "q_dedup_flag",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_DUP_TEXT} AS t3 FROM documents)
+    SELECT doc_id,
+        (row_number() OVER (PARTITION BY md5(t3) ORDER BY doc_id) > 1) AS is_filtered
+    FROM d
+    """,
+)
+def q_dedup_flag(spark, sf_dir):
+    """flag-not-drop dedup (tokenizer.py:176-186 semantics, batch)."""
+    d = _t(spark, sf_dir, "documents").withColumn("t3", dup_text())
+    w = Window.partitionBy(F.md5("t3")).orderBy("doc_id")
+    return d.select("doc_id", (F.row_number().over(w) > 1).alias("is_filtered"))
+
+
+@query(
+    "q_ngram_jaccard",
+    dedup.sql_ngram_jaccard_pairs(
+        f"(SELECT doc_id, {SQL_DUP_TEXT} AS t3 FROM documents)", "doc_id", "t3", n=5, threshold=0.5
+    ),
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """exact n-gram Jaccard near-dup pairs (shingle-join candidates)."""
+    d = _t(spark, sf_dir, "documents").withColumn("t3", dup_text())
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "t3", n=5, threshold=0.5)
+
+
+@query(
+    "q_minhash_lsh",
+    dedup.sql_minhash_lsh_pairs(
+        f"(SELECT doc_id, {SQL_DUP_TEXT} AS t3 FROM documents)",
+        "doc_id", "t3", k=8, rows_per_band=2, n=5, threshold=0.5,
+    ),
+)
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (banded bucket join)."""
+    d = _t(spark, sf_dir, "documents").withColumn("t3", dup_text())
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "t3", k=8, rows_per_band=2, n=5, threshold=0.5
+    )
+
+
+@query(
+    "q_simhash",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_DUP_TEXT} AS t3 FROM documents)
+    SELECT doc_id, {dedup.sql_simhash('t3', bits=16)} AS simhash FROM d
+    """,
+)
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash signatures (engine-portable md5 bit votes)."""
+    d = _t(spark, sf_dir, "documents").withColumn("t3", dup_text())
+    return d.select("doc_id", dedup.simhash(F.col("t3"), bits=16).alias("simhash"))
+
+
+# ===========================================================================
+# Similarity search (embeddings)
+# ===========================================================================
+
+_QUERY_IDS = list(range(10))
+
+
+@query(
+    "q_cosine_topk",
+    similarity.sql_cosine_topk("embeddings", _QUERY_IDS, k=5),
+)
+def q_cosine_topk(spark, sf_dir):
+    """brute-force cosine top-k (broadcast queries × corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _QUERY_IDS, k=5)
+
+
+@query("q_ann_lsh")  # approximate by design: rows-only check; recall tested in pytest
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the 100TB-scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, _QUERY_IDS, k=5, n_planes=4)
+
+
+@query("q_embedding_neardup")  # approximate by design: rows-only check
+def q_embedding_neardup(spark, sf_dir):
+    """embedding-cosine near-dup pairs within LSH buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.9, n_planes=4)
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+
+@query(
+    "q_media_features",
+    """
+    SELECT doc_id,
+        ['image/png', 'audio/wav', 'video/mp4', 'text/plain'][length(coalesce(text, '')) % 4 + 1] AS media_type,
+        CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS byte_size,
+        md5(coalesce(text, '')) AS payload_md5
+    FROM documents
+    """,
+)
+def q_media_features(spark, sf_dir):
+    """binary-payload plumbing: schema + mapInPandas batch shape are the
+    real multimodal path; codec stubbed (operators/multimodal.py)."""
+    d = with_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return extract_media_features(d, "doc_id").select(
+        "doc_id", "media_type", "byte_size", "payload_md5"
+    )
+
+
+# ===========================================================================
+# Flagship: enriched transcript pipeline (generated turns; rows-only)
+# ===========================================================================
+
+
+@query("q_turns_flagship")
+def q_turns_flagship(spark, sf_dir):
+    """end-to-end batch form of the streaming pipeline: enrich (urls,
+    keywords, bitmap score, fingerprints, dedup flag) → sessionize →
+    per-session feature vector → top sessions by phishing score."""
+    turns = generate_turns(spark, n_convs=40, turns_per_conv=24)
+    enriched = enrich_turns(turns)
+    sess = sessionize.session_features(enriched, gap_s=30 * 60)
+    return sess.orderBy(
+        F.col("max_phishing_score").desc(),
+        F.col("n_turns").desc(),
+        F.col("session_id").asc(),
+    ).limit(50)

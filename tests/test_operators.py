@@ -1,0 +1,230 @@
+"""Operator-level tests: sessionization, temporal joins, skew-safe
+aggregation, dedup suite, similarity search, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from spamscope_spark.datagen import generate_turns
+from spamscope_spark.operators import dedup, joins, sessionize, similarity, skew
+from spamscope_spark.operators.multimodal import (
+    decode_stub,
+    extract_media_features,
+    with_binary_payload,
+)
+
+TS0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return TS0 + dt.timedelta(minutes=minutes)
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        rows = [
+            ("a", _ts(0)), ("a", _ts(5)), ("a", _ts(10)),   # session 0
+            ("a", _ts(100)), ("a", _ts(101)),               # session 1 (gap 90m > 30m)
+            ("b", _ts(0)),                                   # session 0 of b
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+        out = sessionize.with_session_ids(df, gap_s=30 * 60).collect()
+        sess = {(r["conv_id"], r["ts"].minute + r["ts"].hour * 60): r["session_seq"] for r in out}
+        assert sess[("a", 0)] == 0 and sess[("a", 5)] == 0 and sess[("a", 10)] == 0
+        assert sess[("a", 100)] == 1 and sess[("a", 101)] == 1
+        assert sess[("b", 0)] == 0
+
+    def test_session_features_on_turns(self, spark):
+        turns = generate_turns(spark, n_convs=6, turns_per_conv=24)
+        feats = sessionize.session_features(turns, gap_s=30 * 60).collect()
+        # datagen: 8-turn bursts separated by 2h ⇒ sessions of exactly 8
+        # turns (except possibly the last partial one per conv)
+        by_conv = {}
+        for r in feats:
+            by_conv.setdefault(r["conv_id"], []).append(r)
+        for conv, sessions in by_conv.items():
+            sizes = sorted(s["n_turns"] for s in sessions)
+            assert all(s <= 8 for s in sizes)
+            assert sum(sizes) >= 24
+            for s in sessions:
+                assert s["n_user"] + s["n_assistant"] + s["n_tool"] + s["n_system"] == s["n_turns"]
+
+
+class TestJoins:
+    def test_time_band_inner(self, spark):
+        left = spark.createDataFrame(
+            [("u1", _ts(10), "L1"), ("u1", _ts(50), "L2")],
+            "user string, ts timestamp, lid string",
+        )
+        right = spark.createDataFrame(
+            [("u1", _ts(9), "R1"), ("u1", _ts(11), "R2"), ("u1", _ts(30), "R3"),
+             ("u2", _ts(10), "R4")],
+            "user string, ts timestamp, rid string",
+        )
+        out = joins.time_band_join(
+            left, right, on=["user"], lower_s=-120, upper_s=120
+        ).select("lid", "r_rid").collect()
+        pairs = {(r["lid"], r["r_rid"]) for r in out}
+        assert pairs == {("L1", "R1"), ("L1", "R2")}
+
+    def test_asof_backward(self, spark):
+        left = spark.createDataFrame(
+            [("u1", _ts(10), "P1"), ("u1", _ts(40), "P2"), ("u2", _ts(10), "P3")],
+            "user string, ts timestamp, pid string",
+        )
+        right = spark.createDataFrame(
+            [("u1", _ts(5), "C1"), ("u1", _ts(9), "C2"), ("u1", _ts(39), "C3")],
+            "user string, ts timestamp, cid string",
+        )
+        out = joins.asof_join(left, right, on=["user"], tiebreak=["cid"]).select(
+            "pid", "r_cid"
+        ).collect()
+        got = {r["pid"]: r["r_cid"] for r in out}
+        assert got == {"P1": "C2", "P2": "C3", "P3": None}
+
+    def test_tool_response_join_on_datagen(self, spark):
+        turns = generate_turns(spark, n_convs=8, turns_per_conv=24)
+        out = joins.tool_response_join(turns, band_s=600)
+        rows = out.collect()
+        # datagen: every slot-1 assistant tool call has its slot-2
+        # response 30s later — except when either side carries the
+        # late-data ts jitter (1/41 of turns shifted -3h), which pushes
+        # the pair outside the band. Matched pairs must be adjacent;
+        # most invocations must match; exactly one row per invocation.
+        assert len(rows) > 0
+        matched = [r for r in rows if r["resp_turn_idx"] is not None]
+        for r in matched:
+            assert r["resp_turn_idx"] == r["turn_idx"] + 1
+        assert len(matched) >= 0.85 * len(rows)
+        inv_count = turns.where(
+            (F.col("role") == "assistant") & F.col("tool").isNotNull()
+        ).count()
+        assert len(rows) == inv_count
+
+
+class TestSkew:
+    def test_salted_agg_equals_plain(self, spark):
+        turns = generate_turns(spark, n_convs=10, turns_per_conv=16, n_hot=2, hot_factor=20)
+        plain = {
+            r["conv_id"]: (r["n"], round(r["s"], 6))
+            for r in turns.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("turn_idx").alias("s"))
+            .collect()
+        }
+        salted = {
+            r["conv_id"]: (r["n"], round(r["s"], 6))
+            for r in skew.salted_agg(
+                turns,
+                key=["conv_id"],
+                aggs=[skew.salted("n", "count"), skew.salted("s", "sum", "turn_idx")],
+                salt_source=F.col("turn_idx"),
+                n_salts=8,
+            ).collect()
+        }
+        assert plain == salted
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup of 1
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near dup
+            (4, "one two three four five six seven eight nine ten"),
+            (5, "totally different words entirely unrelated content here now"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_groups(self, spark, docs):
+        out = dedup.exact_dup_groups(docs, "doc_id").collect()
+        assert len(out) == 1
+        assert out[0]["canonical_id"] == 1 and out[0]["n_dups"] == 2
+
+    def test_ngram_jaccard(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.3).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+        assert (4, 5) not in pairs and (1, 4) not in pairs
+
+    def test_minhash_lsh_finds_dups(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in dedup.minhash_lsh_pairs(
+                docs, "doc_id", k=8, rows_per_band=2, n=3, threshold=0.4
+            ).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert all(a < b for a, b in pairs)
+
+    def test_simhash_identical_for_dups(self, spark, docs):
+        sh = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()
+        }
+        assert sh[1] == sh[2]
+        assert sh[1] != sh[4]
+        # near-dup differs in few bits
+        ham = bin(sh[1] ^ sh[3]).count("1")
+        assert ham <= 8
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vecs = rng.standard_normal((60, 16)).astype("float32")
+        vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16).astype("float32")
+        rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_bruteforce_topk(self, spark, emb):
+        out = similarity.cosine_topk(emb, [0], k=3).collect()
+        assert [r["neighbor_id"] for r in out if r["rank"] == 1] == [1]
+        assert len(out) == 3
+
+    def test_ann_recall(self, spark, emb):
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(emb, list(range(10)), k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ann_lsh_topk(emb, list(range(10)), k=3, n_planes=2).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5  # 2 planes / 4 buckets on 60 vecs
+
+    def test_neardup_pairs(self, spark, emb):
+        out = similarity.embedding_neardup_pairs(emb, threshold=0.95, n_planes=2).collect()
+        assert {(r["id_a"], r["id_b"]) for r in out} >= {(0, 1)}
+
+
+class TestMultimodal:
+    def test_decode_stub_contract(self):
+        with pytest.raises(NotImplementedError):
+            decode_stub(b"abc", "image/png")
+        f = decode_stub(b"abc", "image/png", fake=True)
+        assert f.shape == (8,) and (f == decode_stub(b"abc", "x", fake=True)).all()
+
+    def test_media_pipeline(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        out = extract_media_features(with_binary_payload(docs), "doc_id").collect()
+        import hashlib
+
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["byte_size"] == 11
+        assert by_id[1]["payload_md5"] == hashlib.md5(b"hello world").hexdigest()
+        assert by_id[3]["byte_size"] == 0
+        assert len(by_id[1]["features"]) == 8
