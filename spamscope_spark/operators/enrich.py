@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 
 from ..datagen import SUBJECT_KEYS, TARGET_KEYS, WHITELIST_DOMAINS
 from ..functions.fingerprints import shingle_signature_udf, with_fingerprints
-from ..functions.phishing import phishing_columns
+from ..functions.phishing import with_phishing_columns
 
 
 def enrich_turns(
@@ -47,7 +47,8 @@ def enrich_turns(
     else:
         out = out.withColumn("shingle_sig", F.lit(None).cast("string"))
 
-    cols = phishing_columns(
+    out = with_phishing_columns(
+        out,
         text=F.col("text"),
         tool_name=F.col("tool"),
         author=F.col("role"),
@@ -55,8 +56,6 @@ def enrich_turns(
         subject_keys=subject_keys,
         whitelist=whitelist,
     )
-    for name, col in cols.items():
-        out = out.withColumn(name, col)
 
     if dedup_flag:
         out = with_dedup_flag(out)

@@ -707,21 +707,22 @@ def q_phishing_score(spark, sf_dir):
     """the flagship scorer: exact reference bit layout on derived text
     (text-only surfaces; tool/author bits exercised on the turns
     pipeline)."""
-    from ..functions.phishing import phishing_columns
+    from ..functions.phishing import with_phishing_columns
 
     d = _t(spark, sf_dir, "documents").withColumn("t2", derived_text())
-    cols = phishing_columns(
+    scored = with_phishing_columns(
+        d,
         text=F.col("t2"),
         target_keys=TARGET_KEYS,
         subject_keys=SUBJECT_KEYS,
         whitelist=[],
     )
-    return d.select(
+    return scored.select(
         "doc_id",
-        cols["phishing_score"].alias("phishing_score"),
-        F.array_join(cols["score_expanded"], ",").alias("score_expanded"),
-        F.array_join(cols["targets"], ",").alias("targets"),
-        cols["with_phishing"].alias("with_phishing"),
+        "phishing_score",
+        F.array_join("score_expanded", ",").alias("score_expanded"),
+        F.array_join("targets", ",").alias("targets"),
+        "with_phishing",
     )
 
 

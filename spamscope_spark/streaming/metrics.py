@@ -1,0 +1,66 @@
+"""Streaming metrics: per-query, per-batch progress via
+StreamingQueryListener — rows/sec, batch durations, state size.
+
+The north rule requires the job to be observable (metrics + lineage);
+the enriched output rows additionally carry `_lineage_partition`
+(pipeline.py) and the sink manifest records per-epoch row counts.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class MetricsListener(StreamingQueryListener):
+    def __init__(self):
+        self.progress: dict[str, list[dict]] = defaultdict(list)
+
+    def onQueryStarted(self, event):  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        p = event.progress
+        try:
+            d = json.loads(p.json)
+        except Exception:
+            return
+        self.progress[d.get("name") or d.get("id", "?")].append(
+            {
+                "batchId": d.get("batchId"),
+                "numInputRows": d.get("numInputRows"),
+                "processedRowsPerSecond": d.get("processedRowsPerSecond"),
+                "durationMs": d.get("durationMs"),
+                "stateOperators": [
+                    {
+                        "operatorName": s.get("operatorName"),
+                        "numRowsTotal": s.get("numRowsTotal"),
+                        "memoryUsedBytes": s.get("memoryUsedBytes"),
+                    }
+                    for s in d.get("stateOperators", [])
+                ],
+            }
+        )
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+    def summary(self) -> dict:
+        out = {}
+        for name, batches in self.progress.items():
+            rows = sum(b["numInputRows"] or 0 for b in batches)
+            out[name] = {
+                "batches": len(batches),
+                "total_input_rows": rows,
+                "mean_rows_per_sec": round(
+                    sum(b["processedRowsPerSecond"] or 0 for b in batches)
+                    / max(len(batches), 1),
+                    1,
+                ),
+            }
+        return out

@@ -1,0 +1,91 @@
+"""Exactly-once idempotent sink (foreachBatch MERGE semantics).
+
+The reference's sinks are at-least-once with non-idempotent bulk writes
+(output_elasticsearch.py:96-106) — replays duplicate documents. Here:
+Iceberg `MERGE INTO` on (conv_id, turn_idx) is the production path; the
+sandbox has no Iceberg runtime jar, so this is the documented fallback
+(SURVEY.md §7 risk 5): one parquet directory per epoch, atomically
+committed via a manifest — a replayed epoch overwrites its own
+directory and re-commits the same manifest entry, so output is
+byte-identical under replay (exactly-once), and keyed MERGE semantics
+come from last-writer-wins dedup at read (`read_merged`).
+
+Scale: the manifest holds one line per epoch (not per row); data files
+are partitioned however the batch is partitioned; nothing here is
+driver-bound except the manifest append.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+class IdempotentSink:
+    """foreachBatch target writing epoch-atomic parquet with MERGE keys."""
+
+    def __init__(self, path: str, keys: list[str]):
+        self.path = path
+        self.keys = keys
+        self.data_dir = os.path.join(path, "data")
+        self.manifest = os.path.join(path, "_manifest.jsonl")
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- commit log --------------------------------------------------------
+
+    def committed_epochs(self) -> set[int]:
+        if not os.path.exists(self.manifest):
+            return set()
+        with open(self.manifest) as f:
+            return {json.loads(line)["epoch"] for line in f if line.strip()}
+
+    def _commit(self, epoch: int, n_rows: int) -> None:
+        entry = json.dumps({"epoch": epoch, "rows": n_rows})
+        with open(self.manifest, "a") as f:
+            f.write(entry + "\n")
+
+    # -- foreachBatch ------------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, epoch: int) -> None:
+        """Idempotent epoch write: ALWAYS overwrite the epoch directory,
+        then commit (manifest is last-wins per epoch).
+
+        Overwrite — not skip — is the correct exactly-once move: Spark
+        re-delivers a batchId only when its own commit log lacks it, and
+        a re-delivered batch may carry *different* data than a crashed
+        first attempt (e.g. FileStreamSource reconstructs an unpersisted
+        file-list offset by re-listing, picking up files that arrived in
+        between). Skipping on "already committed" would silently drop
+        those rows; overwriting converges to the re-delivered batch."""
+        epoch_dir = os.path.join(self.data_dir, f"epoch={epoch}")
+        if os.path.exists(epoch_dir):
+            shutil.rmtree(epoch_dir)  # crashed/previous attempt for this epoch
+        n = batch_df.count()
+        batch_df.write.mode("overwrite").parquet(epoch_dir)
+        self._commit(epoch, n)
+
+    def __call__(self, batch_df: DataFrame, epoch: int) -> None:
+        self.process_batch(batch_df, epoch)
+
+    # -- read side (MERGE semantics) ----------------------------------------
+
+    def read_raw(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.data_dir).parquet(
+            os.path.join(self.data_dir, "epoch=*")
+        )
+
+    def read_merged(self, spark: SparkSession) -> DataFrame:
+        """Last-writer-wins by key across epochs — MERGE INTO semantics.
+        (With upstream exactly-once a key appears in one epoch only;
+        this also absorbs intentional key-level upserts.)"""
+        df = self.read_raw(spark)
+        w = Window.partitionBy(*self.keys).orderBy(F.col("epoch").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "epoch")
+        )

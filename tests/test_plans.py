@@ -1,0 +1,84 @@
+"""Plan-quality assertions: the physical plans must be the ones that
+survive a 100x scale-up — pushdown at the scan, pruned read schemas,
+broadcast dimension joins, whole-stage codegen in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from spamscope_spark.plans import explain
+from spamscope_spark.plans.queries import (
+    q_cosine_topk,
+    q_phishing_score,
+    q_pricing_summary,
+    q_region_rollup,
+    q_semi_join,
+    q_top_customers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q_pricing_summary(spark, SF)
+    txt = explain.plan_text(df)
+    assert "PushedFilters" in txt
+    assert "LessThanOrEqual(l_shipdate" in txt  # the predicate, at the scan
+
+
+def test_column_pruning(spark):
+    df = q_pricing_summary(spark, SF)
+    cols = explain.read_schema_columns(df)
+    # lineitem has 11 columns; the query needs 7
+    assert set(cols) <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate", "l_tax",
+    }
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+
+
+def test_dimension_joins_are_broadcast(spark):
+    assert explain.has_broadcast_join(q_region_rollup(spark, SF))
+    assert explain.has_broadcast_join(q_top_customers(spark, SF))  # AQE/size-based
+    assert explain.has_broadcast_join(q_semi_join(spark, SF))
+
+
+def test_similarity_broadcasts_queries(spark):
+    assert explain.has_broadcast_join(q_cosine_topk(spark, SF))
+
+
+def test_enrichment_is_jvm_narrow(spark):
+    # the scorer is pure column math: no Python UDF and — critically at
+    # 100TB — no shuffle (a narrow map over the scan). Higher-order
+    # array functions fall back from whole-stage codegen by design;
+    # they are still JVM expressions.
+    df = q_phishing_score(spark, SF)
+    txt = explain.plan_text(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+    assert "Exchange" not in txt  # per-turn scoring must not shuffle
+
+
+def test_no_python_udf_in_batch_enrich_hot_path(spark):
+    from spamscope_spark.datagen import generate_turns
+    from spamscope_spark.operators.enrich import enrich_turns
+
+    turns = generate_turns(spark, n_convs=5, turns_per_conv=8)
+    df = enrich_turns(turns, with_shingle=False)  # shingle is the one sanctioned udf
+    txt = explain.plan_text(df)
+    assert "BatchEvalPython" not in txt
+    assert "ArrowEvalPython" not in txt
+
+
+def test_salted_agg_two_stage(spark):
+    from spamscope_spark.datagen import generate_turns
+    from spamscope_spark.operators import skew
+
+    turns = generate_turns(spark, n_convs=5, turns_per_conv=8)
+    df = skew.salted_agg(
+        turns, key=["conv_id"], aggs=[skew.salted("n", "count")],
+        salt_source=F.col("turn_idx"), n_salts=4,
+    )
+    txt = explain.plan_text(df)
+    # partial agg on (key, salt), final agg on key → two HashAggregate pairs
+    assert txt.count("HashAggregate") >= 4

@@ -1,0 +1,203 @@
+"""Streaming-layer tests: exactly-once idempotent sink, checkpoint
+resume, stateful dedup flag, stateful sessionization, watermarked
+stream-stream join — the north-rule requirements.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from spamscope_spark.datagen import generate_turns
+from spamscope_spark.operators.enrich import enrich_turns
+from spamscope_spark.operators.joins import tool_response_join
+from spamscope_spark.streaming.pipeline import (
+    PipelineConfig,
+    start_enriched_query,
+    start_join_query,
+    start_session_query,
+)
+from spamscope_spark.streaming.sink import IdempotentSink
+
+N_CONVS = 20
+TURNS_PER_CONV = 24
+
+
+@pytest.fixture(scope="module")
+def turns_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("turns_in"))
+    turns = generate_turns(spark, n_convs=N_CONVS, turns_per_conv=TURNS_PER_CONV)
+    # two files so the stream has multiple input splits
+    turns.where(F.col("conv_id") < "conv_000010").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    turns.where(F.col("conv_id") >= "conv_000010").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    return path
+
+
+@pytest.fixture()
+def cfg(turns_input, tmp_path):
+    return PipelineConfig(input_path=turns_input, work_dir=str(tmp_path))
+
+
+class TestIdempotentSink:
+    def test_replayed_epoch_writes_once(self, spark, tmp_path):
+        sink = IdempotentSink(str(tmp_path / "s"), keys=["conv_id", "turn_idx"])
+        df = generate_turns(spark, n_convs=3, turns_per_conv=8)
+        sink.process_batch(df, 0)
+        n1 = sink.read_merged(spark).count()
+        sink.process_batch(df, 0)  # replay of a committed epoch: no-op
+        assert sink.read_merged(spark).count() == n1
+        assert sink.committed_epochs() == {0}
+
+    def test_merge_last_writer_wins(self, spark, tmp_path):
+        sink = IdempotentSink(str(tmp_path / "s2"), keys=["k"])
+        sink.process_batch(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+        sink.process_batch(spark.createDataFrame([(1, "b"), (2, "c")], "k int, v string"), 1)
+        rows = {r["k"]: r["v"] for r in sink.read_merged(spark).collect()}
+        assert rows == {1: "b", 2: "c"}
+
+
+class TestEnrichedStream:
+    def test_end_to_end_matches_batch(self, spark, cfg):
+        query, sink = start_enriched_query(spark, cfg)
+        query.awaitTermination(300)
+        out = sink.read_merged(spark)
+        got = {
+            (r["conv_id"], r["turn_idx"]): (
+                r["phishing_score"], r["sha1"], tuple(r["targets"]), r["with_phishing"]
+            )
+            for r in out.collect()
+        }
+        batch = enrich_turns(
+            spark.read.parquet(cfg.input_path), dedup_flag=False
+        ).collect()
+        exp = {
+            (r["conv_id"], r["turn_idx"]): (
+                r["phishing_score"], r["sha1"], tuple(r["targets"]), r["with_phishing"]
+            )
+            for r in batch
+        }
+        assert got == exp  # per-turn equality under (conv_id, turn_idx) keys
+        assert "json" in out.columns and out.where(F.col("json").isNull()).count() == 0
+
+    def test_exactly_once_on_restart_and_incremental(self, spark, turns_input, tmp_path):
+        # private copy of the input dir — this test appends files
+        import shutil
+
+        inp = str(tmp_path / "in")
+        shutil.copytree(turns_input, inp)
+        cfg = PipelineConfig(input_path=inp, work_dir=str(tmp_path / "w"))
+        query, sink = start_enriched_query(spark, cfg)
+        query.awaitTermination(300)
+        n1 = sink.read_merged(spark).count()
+        total_input = spark.read.parquet(cfg.input_path).count()
+        assert n1 == total_input
+
+        # restart with same checkpoint, no new data → zero new rows
+        query2, sink2 = start_enriched_query(spark, cfg)
+        query2.awaitTermination(300)
+        assert sink2.read_merged(spark).count() == n1
+
+        # append a new input file with event times AHEAD of the
+        # checkpointed watermark → exactly the new rows appear
+        extra = generate_turns(spark, n_convs=N_CONVS + 5, turns_per_conv=8).where(
+            F.col("conv_id") >= f"conv_{N_CONVS:06d}"
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        n_extra = extra.count()
+        extra.coalesce(1).write.mode("append").parquet(cfg.input_path)
+        query3, sink3 = start_enriched_query(spark, cfg)
+        query3.awaitTermination(300)
+        assert sink3.read_merged(spark).count() == n1 + n_extra
+
+        # a file whose event times are entirely BEHIND the watermark is
+        # dropped by the stateful operators (late data, by design)
+        stale = generate_turns(spark, n_convs=N_CONVS + 8, turns_per_conv=8).where(
+            F.col("conv_id") >= f"conv_{N_CONVS + 5:06d}"
+        ).withColumn("ts", F.col("ts") - F.expr("INTERVAL 365 DAYS"))
+        stale.coalesce(1).write.mode("append").parquet(cfg.input_path)
+        query4, sink4 = start_enriched_query(spark, cfg)
+        query4.awaitTermination(300)
+        assert sink4.read_merged(spark).count() == n1 + n_extra
+
+    def test_dedup_flag_state_spans_batches(self, spark, cfg):
+        cfg.max_files_per_trigger = 1  # force multiple microbatches
+        query, sink = start_enriched_query(spark, cfg)
+        query.awaitTermination(300)
+        out = sink.read_merged(spark)
+        # duplicates exist across batches; exactly one row per distinct
+        # sha1 must be unflagged (the global first-seen)
+        agg = (
+            out.groupBy("sha1")
+            .agg(
+                F.sum((~F.col("is_filtered")).cast("long")).alias("n_first"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        assert all(r["n_first"] == 1 for r in agg)
+        assert any(r["n"] > 1 for r in agg)  # fixture has cross-batch dups
+
+
+class TestStatefulSessions:
+    def test_sessions_match_batch_closed_sessions(self, spark, cfg):
+        query, sink = start_session_query(spark, cfg)
+        query.awaitTermination(300)
+        got = {
+            r["session_id"]: (r["n_turns"], r["n_user"], r["n_assistant"], r["n_tool"])
+            for r in sink.read_merged(spark).collect()
+        }
+        assert len(got) > 0
+        # batch oracle: session_features over the same input; streaming
+        # emits only *closed* sessions (a later session exists in the
+        # same conv), so compare that subset
+        from spamscope_spark.operators.sessionize import session_features
+
+        batch = session_features(
+            spark.read.parquet(cfg.input_path), gap_s=cfg.gap_s
+        ).collect()
+        last_seq = {}
+        for r in batch:
+            last_seq[r["conv_id"]] = max(last_seq.get(r["conv_id"], -1), r["session_seq"])
+        exp = {
+            r["session_id"]: (r["n_turns"], r["n_user"], r["n_assistant"], r["n_tool"])
+            for r in batch
+            if r["session_seq"] < last_seq[r["conv_id"]]
+        }
+        for sid, vals in exp.items():
+            assert got.get(sid) == vals, sid
+        # streaming may additionally contain nothing beyond batch's sessions
+        assert set(got) <= {r["session_id"] for r in batch}
+
+    def test_within_conv_dup_counting(self, spark, cfg):
+        query, sink = start_session_query(spark, cfg)
+        query.awaitTermination(300)
+        total_dups = (
+            sink.read_merged(spark).agg(F.sum("n_duplicate_turns")).first()[0]
+        )
+        assert total_dups is not None and total_dups >= 0
+
+
+class TestStreamStreamJoin:
+    def test_pairs_match_batch_join(self, spark, cfg):
+        query, sink = start_join_query(spark, cfg)
+        query.awaitTermination(300)
+        got = {
+            (r["conv_id"], r["turn_idx"], r["resp_turn_idx"])
+            for r in sink.read_merged(spark).collect()
+        }
+        batch = tool_response_join(
+            spark.read.parquet(cfg.input_path), band_s=cfg.band_s
+        ).where(F.col("resp_turn_idx").isNotNull())
+        exp = {
+            (r["conv_id"], r["turn_idx"], r["resp_turn_idx"]) for r in batch.collect()
+        }
+        assert got == exp
+        # replay idempotence
+        query2, sink2 = start_join_query(spark, cfg)
+        query2.awaitTermination(300)
+        assert len(got) == sink2.read_merged(spark).count()
