@@ -906,3 +906,298 @@ def q_turns_flagship(spark, sf_dir):
         F.col("n_turns").desc(),
         F.col("session_id").asc(),
     ).limit(50)
+
+
+# ===========================================================================
+# Extended relational/analytic coverage (round 1 widening)
+# ===========================================================================
+
+
+@query(
+    "q_lag_lead",
+    """
+    SELECT event_id, user_id,
+        round(value - lag(value) OVER w, 2) AS delta_prev,
+        round(lead(value) OVER w - value, 2) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_lead(spark, sf_dir):
+    """lag/lead analytics — turn-adjacency pairing primitive."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
+@query(
+    "q_dense_rank_topk",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+            dense_rank() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderpriority ASC, o_orderkey ASC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 2
+    """,
+)
+def q_dense_rank_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderpriority").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.dense_rank().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@query(
+    "q_rollup",
+    """
+    SELECT coalesce(r.r_name, '<all>') AS region,
+           coalesce(n.n_name, '<all>') AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """hierarchical rollup aggregation (grouping sets)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    """
+    SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """pivot (role/tool frequency-vector primitive)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error", "signup"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "purchase", "error", "signup")],
+    )
+
+
+@query(
+    "q_string_funcs",
+    """
+    SELECT doc_id,
+        upper(substr(coalesce(text, ''), 1, 12)) AS head_upper,
+        length(replace(coalesce(text, ''), ' ', '')) AS n_nonspace,
+        regexp_replace(coalesce(text, ''), '[aeiou]', '_', 'g') AS devoweled,
+        concat(source, ':', lang) AS src_lang
+    FROM documents
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return d.select(
+        "doc_id",
+        F.upper(F.substring(t, 1, 12)).alias("head_upper"),
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).alias("n_nonspace"),
+        F.regexp_replace(t, "[aeiou]", "_").alias("devoweled"),
+        F.concat(F.col("source"), F.lit(":"), F.col("lang")).alias("src_lang"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    """
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS order_day,
+        CAST(extract(dow FROM o_orderdate) AS INTEGER) AS dow,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        round(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """date bucketing (daily index-naming analog, utils.py:300-310).
+    DuckDB dow: 0=Sunday; Spark dayofweek: 1=Sunday → dayofweek-1."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("order_day"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
+    """,
+)
+def q_intersect(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").where(F.col("value") > 150)
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(e.where(F.col("event_type") == "click").select("user_id"))
+    )
+
+
+@query(
+    "q_session_window_builtin",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1800 SECONDS AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, seq
+    """,
+)
+def q_session_window_builtin(spark, sf_dir):
+    """built-in session_window must agree with the declarative lag/gap
+    sessionization (window end = last event + gap, Spark semantics)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_url_decompose",
+    f"""
+    WITH urls AS (
+        SELECT doc_id, unnest(list_sort(list_distinct(
+            regexp_extract_all({SQL_DERIVED_TEXT}, '{_SQL_RE_URL_DUCK}', 1)))) AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1),
+                             '([^@]*)$', 1)) AS host,
+        regexp_extract(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#:]*)', 1)),
+                       '([a-z0-9\\-]+\\.[a-z0-9\\-]+)$', 1) AS domain,
+        nullif(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '') AS resource_path,
+        nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS query_string
+    FROM urls
+    """,
+)
+def q_url_decompose(spark, sf_dir):
+    """Faup-style URL decomposition, field-level SQL parity
+    (utils.py:145-160). The urls fixture has no userinfo/port and no
+    two-level public suffixes, so host/domain reduce to the regex
+    forms used in the oracle."""
+    from ..functions.urls import decompose_url
+
+    d = _t(spark, sf_dir, "documents").withColumn("t2", derived_text())
+    u = d.select("doc_id", F.explode(extract_url_strings(F.col("t2"))).alias("url"))
+    s = decompose_url(F.col("url"))
+    return u.select(
+        "doc_id", "url",
+        s["scheme"].alias("scheme"),
+        s["host"].alias("host"),
+        s["domain"].alias("domain"),
+        s["resource_path"].alias("resource_path"),
+        s["query_string"].alias("query_string"),
+    )
+
+
+def _sql_minhash_signatures(table: str, id_col: str, text_col: str, k: int, n: int) -> str:
+    sh = dedup.sql_word_shingles(text_col, n)
+    mins = ",\n        ".join(f"MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(k))
+    return f"""
+    WITH flat AS (
+        SELECT {id_col} AS doc, unnest({sh}) AS shingle FROM {table}
+    )
+    SELECT doc, {mins} FROM flat GROUP BY doc
+    """
+
+
+@query(
+    "q_minhash_signatures",
+    _sql_minhash_signatures(
+        f"(SELECT doc_id, {SQL_DUP_TEXT} AS t3 FROM documents)", "doc_id", "t3", k=8, n=5
+    ),
+)
+def q_minhash_signatures(spark, sf_dir):
+    """per-document MinHash signatures, component-level SQL parity."""
+    d = _t(spark, sf_dir, "documents").withColumn("t3", dup_text())
+    return dedup.minhash_signatures(d, "doc_id", "t3", k=8, n=5)
+
+
+@query(
+    "q_quality_filter",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {textstats.sql_quality_score('text')} >= 0.5
+      AND {textstats.sql_ws_token_count('text')} >= 30
+    """,
+)
+def q_quality_filter(spark, sf_dir):
+    """training-data quality gate: filter + projection pushdown."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        (textstats.quality_score(F.col("text")) >= 0.5)
+        & (textstats.ws_token_count(F.col("text")) >= 30)
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query("q_shingle_signatures")  # pandas_udf fuzzy hash: rows-only (pytest covers parity)
+def q_shingle_signatures(spark, sf_dir):
+    """ssdeep-like content-defined-chunking signatures (the sanctioned
+    pandas_udf), over documents."""
+    from ..functions.fingerprints import shingle_signature_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", shingle_signature_udf(F.col("text")).alias("shingle_sig"))
