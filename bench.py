@@ -11,7 +11,8 @@ Prints ONE JSON line:
   local[$SPARK_GRAFT_CPUS]; each timed with a noop sink so Catalyst
   cannot prune the measured work.
 - Streaming: the full CEP pipeline (enrich + stateful dedup +
-  sessionize + stream-stream join, exactly-once sinks) over a
+  sessionize + stream-stream join + tumbling-window rates,
+  exactly-once sinks) over a
   deterministic generated transcript table, run at local[8] and
   local[32] in separate JVMs on the SAME input — the sandbox evidence
   for the north rule's N→4N executor scaling criterion
@@ -53,6 +54,9 @@ HEADLINE = [
     "q_simhash",
     "q_cosine_topk",
     "q_media_features",
+    "q_wordcount",
+    "q_range_window",
+    "q_part_revenue",
     "q_turns_flagship",
 ]
 
@@ -92,6 +96,7 @@ def stream_worker(cpus: int, input_path: str, work_dir: str) -> dict:
         start_enriched_query,
         start_join_query,
         start_session_query,
+        start_window_query,
     )
 
     spark = _session(cpus, f"bench-stream-{cpus}")
@@ -101,7 +106,8 @@ def stream_worker(cpus: int, input_path: str, work_dir: str) -> dict:
     q1, _ = start_enriched_query(spark, cfg)
     q2, _ = start_session_query(spark, cfg)
     q3, _ = start_join_query(spark, cfg)
-    for q in (q1, q2, q3):
+    q4, _ = start_window_query(spark, cfg)
+    for q in (q1, q2, q3, q4):
         q.awaitTermination()
     wall = time.time() - t0
     spark.stop()

@@ -1201,3 +1201,291 @@ def q_shingle_signatures(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", shingle_signature_udf(F.col("text")).alias("shingle_sig"))
+
+
+# ===========================================================================
+# Extended coverage, batch 2: statistics / analytics / arrays / sampling
+# ===========================================================================
+
+
+@query(
+    "q_distinct_count",
+    """
+    SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_count(spark, sf_dir):
+    """exact distinct aggregation (partial-agg expand under the hood)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("q_approx_distinct")  # HLL sketch differs across engines: rows-only;
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100TB path for
+    cardinality; pytest asserts ≤5% error vs the exact count."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT event_type,
+        round(quantile_cont(value, 0.25), 4) AS p25,
+        round(quantile_cont(value, 0.5), 4) AS p50,
+        round(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """exact interpolated percentiles (sort-based within group)."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return e.groupBy("event_type").agg(pct.alias("p")).select(
+        "event_type",
+        F.round(F.col("p")[0], 4).alias("p25"),
+        F.round(F.col("p")[1], 4).alias("p50"),
+        F.round(F.col("p")[2], 4).alias("p75"),
+    )
+
+
+@query(
+    "q_stats_agg",
+    """
+    SELECT l_returnflag,
+        round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        round(var_samp(l_discount), 6) AS var_disc,
+        round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    """statistical aggregates (stddev/variance/correlation/covariance)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "q_cube",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(dow, -1) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT event_type, CAST(extract(dow FROM ts) AS INTEGER) AS dow
+          FROM events)
+    GROUP BY CUBE (event_type, dow)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """cube over (event_type, day-of-week) — all grouping sets."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    )
+    return (
+        e.cube("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q_ntile",
+    """
+    SELECT event_id,
+        CAST(ntile(4) OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS INTEGER) AS quartile
+    FROM events
+    """,
+)
+def q_ntile(spark, sf_dir):
+    """ntile bucketing (deterministic full ordering)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select("event_id", F.ntile(4).over(w).alias("quartile"))
+
+
+@query(
+    "q_first_last",
+    """
+    SELECT DISTINCT o_custkey,
+        first_value(o_orderkey) OVER w AS first_order,
+        last_value(o_orderkey) OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last(spark, sf_dir):
+    """first/last order per customer over an unbounded frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    ).distinct()
+
+
+@query(
+    "q_range_window",
+    """
+    SELECT event_id, user_id,
+        round(SUM(value) OVER (PARTITION BY user_id
+            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_1h
+    FROM events
+    """,
+)
+def q_range_window(spark, sf_dir):
+    """event-time RANGE frame: trailing-1h sum per user (sliding-window
+    rate primitive in its analytic form)."""
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the two-step
+    # cast yields the same UTC epoch seconds DuckDB's epoch() returns.
+    e = _t(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("trailing_1h")
+    )
+
+
+_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),"
+    " x -> x <> '')"
+)
+
+
+@query(
+    "q_array_hof",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents)
+    SELECT doc_id,
+        CAST(len(words) AS INTEGER) AS n_words,
+        CAST(len(list_filter(words, x -> length(x) > 6)) AS INTEGER) AS n_long,
+        CAST(coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0) * 100
+             // greatest(len(words), 1) AS BIGINT) AS avg_len_c
+    FROM w
+    """,
+)
+def q_array_hof(spark, sf_dir):
+    """higher-order array functions (transform/filter/aggregate) — all
+    JVM-side, no Python (§2.4 payloadstext analog)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    d = d.select("doc_id", words.alias("words"))
+    total_len = F.aggregate(
+        "words", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    # mean word length in centichars via integer division — exact in
+    # both engines (float round() half-behaviors differ at boundaries)
+    avg_len_c = (total_len * 100).cast("long") / F.greatest(
+        F.size("words").cast("long"), F.lit(1).cast("long")
+    )
+    return d.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.size(F.filter("words", lambda x: F.length(x) > 6)).alias("n_long"),
+        F.floor(avg_len_c).cast("long").alias("avg_len_c"),
+    )
+
+
+@query(
+    "q_wordcount",
+    f"""
+    WITH w AS (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w
+    GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+    """,
+)
+def q_wordcount(spark, sf_dir):
+    """top-50 corpus words (explode → groupBy → deterministic top-k)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    return (
+        d.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "q_sample_hash",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """deterministic ~25% hash sample — reproducible across engines,
+    partitionings, and reruns (unlike rand()-based sampling)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_part_revenue",
+    """
+    SELECT p.p_brand,
+        round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    """,
+)
+def q_part_revenue(spark, sf_dir):
+    """fact ⋈ broadcast(dimension) with a pre-join dimension filter —
+    the canonical 100TB star-join shape (filter prunes the build side
+    before broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_size") <= 20).select("p_partkey", "p_brand")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -52,6 +52,7 @@ class PipelineConfig:
     gap_s: int = 30 * 60
     watermark: str = "4 hours"
     band_s: int = 600
+    window_s: int = 600
     dedup_state_timeout_ms: int = 6 * 3600 * 1000
     max_files_per_trigger: int | None = None
     target_keys: dict = field(default_factory=lambda: dict(TARGET_KEYS))
@@ -345,6 +346,34 @@ def tool_response_stream_join(
 
 
 # ---------------------------------------------------------------------------
+# windowed rates (tumbling event-time aggregate under the watermark)
+# ---------------------------------------------------------------------------
+
+
+def windowed_rates(df: DataFrame, window_s: int = 600) -> DataFrame:
+    """Per-(conv_id, tumbling window) turn/tool/score rates — the
+    SURVEY §7 'tumbling window aggregates (per-conversation rates)'
+    stage. Partial aggregation is map-side; the window column is a
+    pure function of ts so no extra shuffle beyond the groupBy. On a
+    stream the upstream watermark bounds state: a window's row is
+    emitted (append mode) once the watermark passes window.end."""
+    return (
+        df.groupBy(F.window("ts", f"{window_s} seconds").alias("w"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_calls"),
+            F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+            F.max("phishing_score").alias("max_phishing_score"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "conv_id", "n_turns", "n_tool_calls", "n_user", "max_phishing_score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # query assembly
 # ---------------------------------------------------------------------------
 
@@ -379,6 +408,28 @@ def start_session_query(
         .option("checkpointLocation", cfg.checkpoint("sessions"))
         .outputMode("append")
         .queryName("sessions")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def start_window_query(
+    spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
+):
+    """Tumbling-window per-conversation rates, exactly-once (append
+    mode: a window row is final once the watermark passes its end)."""
+    sink = IdempotentSink(
+        cfg.output("window_rates"), keys=["window_start", "conv_id"]
+    )
+    df = windowed_rates(
+        enriched_stream(spark, cfg, dedup_flag=False), window_s=cfg.window_s
+    )
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cfg.checkpoint("window_rates"))
+        .outputMode("append")
+        .queryName("window_rates")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

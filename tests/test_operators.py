@@ -228,3 +228,21 @@ class TestMultimodal:
         assert by_id[1]["payload_md5"] == hashlib.md5(b"hello world").hexdigest()
         assert by_id[3]["byte_size"] == 0
         assert len(by_id[1]["features"]) == 8
+
+
+class TestApproxDistinct:
+    def test_hll_within_tolerance(self, spark):
+        """approx_count_distinct (rsd=0.02) stays within 5% of exact —
+        the cardinality path that replaces exact distinct at 100TB."""
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = (
+            e.groupBy("event_type")
+            .agg(
+                F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+                F.countDistinct("user_id").alias("exact"),
+            )
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), r
