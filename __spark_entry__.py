@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from spamscope_spark.config import ensure_py_files  # noqa: E402
 from spamscope_spark.plans import queries as q  # noqa: E402
 
 
@@ -30,14 +31,28 @@ def entry(spark: SparkSession) -> DataFrame:
     → sessionize → per-session feature vectors → top sessions, plus a
     smoke pass over the sf0.001 star schema."""
     sf_dir = "/root/testdata/sf0.001"
+    ensure_py_files(spark)
     # touch the driver tables so the smoke check exercises the scan path
     q._t(spark, sf_dir, "events").limit(1).collect()
     return q.q_turns_flagship(spark, sf_dir)
 
 
+def _shipped(fn: Callable) -> Callable:
+    """Wrap a query so its session always has the package on worker
+    sys.path, wherever the driver was launched from."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_py_files(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(q.QUERIES)
+    return {name: _shipped(fn) for name, fn in q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -14,6 +14,37 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+def ensure_py_files(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers — the in-process
+    analog of `spark-submit --py-files app.zip` (reference deploy path:
+    `sparse submit`, src/cli/spamscope_topology.py:127-142).
+
+    UDF closures reference spamscope_spark module functions, which
+    cloudpickle serializes *by module name*; a worker whose PYTHONPATH
+    lacks the repo root (any driver not launched from /root/repo) would
+    fail to unpickle them. addPyFile distributes a zip and every Python
+    worker adds it to sys.path per task, on a real cluster and in
+    local mode alike. Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_spamscope_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"spamscope_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    zf.write(p, os.path.relpath(p, os.path.dirname(pkg)))
+    sc.addPyFile(zpath)
+    sc._spamscope_shipped = True
+
+
 def build_session(
     app_name: str = "spamscope-spark",
     master: str | None = None,
@@ -51,4 +82,6 @@ def build_session(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_py_files(spark)
+    return spark

@@ -271,13 +271,16 @@ def q_semi_join(spark, sf_dir):
     "q_anti_join",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 280000)
     """,
 )
 def q_anti_join(spark, sf_dir):
-    """left-anti join (domain-whitelist removal analog)."""
+    """left-anti join (domain-whitelist removal analog): customers with
+    no large order — the build side is filtered before the join."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 280000)
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -859,9 +862,21 @@ def q_ann_lsh(spark, sf_dir):
 
 @query("q_embedding_neardup")  # approximate by design: rows-only check
 def q_embedding_neardup(spark, sf_dir):
-    """embedding-cosine near-dup pairs within LSH buckets."""
+    """embedding-cosine near-dup pairs within LSH buckets. The raw
+    corpus has no near-dups, so plant scaled copies of the first 25
+    vectors (cosine and hyperplane signs are scale-invariant → each
+    copy MUST pair with its original; pytest asserts this)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.9, n_planes=4)
+    copies = emb.orderBy("vec_id").limit(25).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01))
+        .cast("array<float>")
+        .alias("embedding"),
+        "label",
+    )
+    return similarity.embedding_neardup_pairs(
+        emb.unionByName(copies), threshold=0.9, n_planes=4
+    )
 
 
 # ===========================================================================

@@ -6,17 +6,23 @@ flagged `is_filtered=True` so downstream skips expensive work. State is
 persisted (the reference pickles deques each tick; Spark's state store
 checkpoints for free).
 
-Implementation: groupBy(fingerprint) + applyInPandasWithState. Each
-group holds the seen-count; an event-time TTL (timeout at
-last_seen_event_time + ttl, fired when the watermark passes) evicts
-idle fingerprints — the bounded-LRU analog (the reference caps at 1e6
-entries; we cap by event-time idleness, which is what an LRU
-approximates, and which keeps availableNow/batch-drain runs
-terminating — processing-time timeouts would keep the query alive).
+Implementation — scale-first: groupBy(BUCKET of fingerprint) +
+applyInPandasWithState, NOT groupBy(fingerprint). Keying state on the
+raw fingerprint means one Python invocation per distinct hash per
+batch (≈ one per row — mostly-unique crypto hashes), which serializes
+the whole stream through per-group overhead. Instead the key is
+`pmod(xxhash64(sha1), n_buckets)`: a fixed number of uniformly-loaded
+groups (crypto-hash input → no hot buckets), each processing its rows
+VECTORIZED (pandas isin/duplicated), with per-bucket seen-sets as the
+bounded-LRU state (the reference caps at 1e6 entries total; we cap
+per bucket at `max_per_bucket`, evicting oldest-first). An event-time
+TTL clears buckets idle past the watermark so availableNow/batch-drain
+runs terminate.
 
-Skew note: keys are fingerprints (uniform by construction — crypto
-hashes), so no salting is needed here; hot *conversations* don't
-concentrate because the key is content, not conv_id.
+n_buckets trades parallelism against per-group overhead: it should be
+≥ shuffle parallelism (so all cores work) and ≪ distinct hashes per
+batch (so the vectorization pays). 1024 covers local[8]→1000-executor
+clusters alike.
 """
 
 from __future__ import annotations
@@ -25,37 +31,49 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
-    LongType,
+    StringType,
     StructField,
     StructType,
 )
 
+_BUCKET_COL = "_dedup_bucket"
+
 STATE_SCHEMA = StructType(
     [
-        StructField("n_seen", LongType()),
+        StructField("seen", ArrayType(StringType())),
     ]
 )
 
 
 def _out_schema(input_schema: StructType) -> StructType:
-    return StructType(list(input_schema.fields) + [StructField("is_filtered", BooleanType())])
+    return StructType(
+        [f for f in input_schema.fields if f.name != _BUCKET_COL]
+        + [StructField("is_filtered", BooleanType())]
+    )
 
 
 def flag_duplicates(
     df: DataFrame,
     key: str = "sha1",
     state_timeout_ms: int = 6 * 3600 * 1000,
+    n_buckets: int = 1024,
+    max_per_bucket: int = 4096,
 ) -> DataFrame:
     """Streaming DataFrame → same rows + is_filtered flag. Requires an
     upstream watermark on ts (for the event-time TTL).
 
-    Within a microbatch, rows for one fingerprint are ordered by
-    (ts, conv_id, turn_idx) and all but the first (globally) flagged —
-    matching the batch with_dedup_flag ordering."""
+    Within a microbatch, rows of one bucket are ordered by
+    (ts, conv_id, turn_idx); the globally-first occurrence of each
+    fingerprint keeps is_filtered=False — matching the batch
+    with_dedup_flag ordering. Total retained state ≈
+    n_buckets × max_per_bucket fingerprints (≈4M default, the
+    reference's 1e6-per-filter analog)."""
     if "is_filtered" in df.columns:  # replace a placeholder flag column
         df = df.drop("is_filtered")
     out_schema = _out_schema(df.schema)
@@ -67,7 +85,8 @@ def flag_duplicates(
         if state.hasTimedOut:
             state.remove()
             return
-        n_seen = state.get[0] if state.exists else 0
+        seen: list[str] = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
         max_ts_ms = 0
         for pdf in pdfs:
             if sort_cols:
@@ -76,18 +95,25 @@ def flag_duplicates(
                 max_ts_ms = max(
                     max_ts_ms, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
                 )
-            flags = [True] * len(pdf)
-            if n_seen == 0 and len(pdf) > 0:
-                flags[0] = False
-            pdf = pdf.assign(is_filtered=flags)
-            n_seen += len(pdf)
-            yield pdf
-        state.update((n_seen,))
+            hashes = pdf[key]
+            # flagged iff seen in state OR a previous row in this batch
+            flagged = hashes.isin(seen_set) | hashes.duplicated(keep="first")
+            new = pd.unique(hashes[~hashes.isin(seen_set)])
+            seen.extend(new)
+            seen_set.update(new)
+            yield pdf.drop(columns=[_BUCKET_COL]).assign(is_filtered=flagged.values)
+        if len(seen) > max_per_bucket:  # oldest-first eviction (LRU analog)
+            drop = len(seen) - max_per_bucket
+            seen = seen[drop:]
+        state.update((seen,))
         # event-time TTL: evict once the watermark passes last-seen + ttl
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(max_ts_ms + state_timeout_ms, wm + 1000))
 
-    return df.groupBy(key).applyInPandasWithState(
+    bucketed = df.withColumn(
+        _BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    )
+    return bucketed.groupBy(_BUCKET_COL).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,

@@ -71,6 +71,9 @@ def read_turns_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     checkpoint subsume the reference's `.processing` rename/lease claim
     protocol (files_mails.py:109-145); maxFilesPerTrigger is the
     backpressure knob (max.spout.pending analog)."""
+    from ..config import ensure_py_files
+
+    ensure_py_files(spark)
     reader = spark.readStream.schema(TURNS_SCHEMA)
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
@@ -168,8 +171,16 @@ def stateful_sessionize(df: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
     near-dup turn detection.
 
     Emits one SESSION_OUT_SCHEMA row per *closed* session."""
-    from ..functions.fingerprints import shingle_similarity_py
-
+    # Project to the 8 columns the state function reads BEFORE the
+    # keyed shuffle: the enriched row is wide (text, 4 hashes, URL
+    # structs, json) and every byte of it would otherwise be shuffled
+    # AND Arrow-serialized into Python per batch. Column pruning does
+    # not cross applyInPandasWithState on its own.
+    needed = [
+        "conv_id", "turn_idx", "ts", "role", "tool",
+        "phishing_score", "sha1", "shingle_sig",
+    ]
+    df = df.select(*[c for c in needed if c in df.columns])
     gap_us = gap_s * 1_000_000
     COUNTERS = 12  # numeric slots in the state tuple
 
@@ -191,6 +202,15 @@ def stateful_sessionize(df: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
             "n_neardup_turns": s[11],
         }
 
+    import numpy as np
+
+    def _grams(sig: str, cache: dict) -> frozenset:
+        g = cache.get(sig)
+        if g is None:
+            g = frozenset(sig[i : i + 2] for i in range(max(1, len(sig) - 1)))
+            cache[sig] = g
+        return g
+
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -208,46 +228,80 @@ def stateful_sessionize(df: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
             sigs = list(raw[COUNTERS + 1] or [])
         else:
             s, seen, sigs = None, [], []
+        gram_cache: dict = {}
         closed: list[dict] = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-            for r in pdf.itertuples(index=False):
-                ts_us = int(pd.Timestamp(r.ts).value // 1000)
-                if s is not None and ts_us - s[2] > gap_us:
-                    closed.append(_row(conv_id, s))
-                    s = [s[0] + 1, ts_us, ts_us] + [0] * (COUNTERS - 3)
+            n = len(pdf)
+            ts_us = (
+                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+            )
+            # gap segmentation (rows are ts-sorted): row i opens a new
+            # session iff its gap to the previous event (or the open
+            # session's end, for row 0) exceeds gap_us
+            prev_end = np.empty(n, dtype=np.int64)
+            prev_end[1:] = ts_us[:-1]
+            prev_end[0] = s[2] if s is not None else ts_us[0]
+            new_sess = (ts_us - prev_end) > gap_us
+            if s is None:
+                new_sess[0] = True
+            seg = np.cumsum(new_sess)  # 0 = continuation of the open session
+
+            roles = pdf["role"].to_numpy()
+            has_tool = pdf["tool"].notna().to_numpy()
+            scores = pdf["phishing_score"].fillna(0).to_numpy()
+            shas = pdf["sha1"].fillna("").to_numpy()
+            sig_arr = pdf["shingle_sig"].fillna("").to_numpy()
+
+            for seg_id in range(int(seg[0]), int(seg[-1]) + 1):
+                idx = np.nonzero(seg == seg_id)[0]
+                if seg_id > 0 or s is None:
+                    if s is not None:
+                        closed.append(_row(conv_id, s))
+                    next_seq = s[0] + 1 if s is not None else 0
+                    t0 = int(ts_us[idx[0]])
+                    s = [next_seq, t0, t0] + [0] * (COUNTERS - 3)
                     seen, sigs = [], []
-                elif s is None:
-                    s = [0, ts_us, ts_us] + [0] * (COUNTERS - 3)
-                s[2] = max(s[2], ts_us)
-                s[3] += 1
-                role = getattr(r, "role", None)
-                for i, name in ((4, "user"), (5, "assistant"), (6, "tool"), (7, "system")):
-                    if role == name:
-                        s[i] += 1
-                tool = getattr(r, "tool", None)
-                if tool is not None and not (isinstance(tool, float) and pd.isna(tool)):
-                    s[8] += 1
-                score = getattr(r, "phishing_score", None)
-                if score is not None and not pd.isna(score):
-                    s[9] = max(s[9], int(score))
-                sha = getattr(r, "sha1", None)
-                if sha is not None:
-                    if sha in seen:
-                        s[10] += 1
-                    else:
+                # vectorized per-session counters
+                s[2] = max(s[2], int(ts_us[idx[-1]]))
+                s[3] += len(idx)
+                r_seg = roles[idx]
+                s[4] += int(np.sum(r_seg == "user"))
+                s[5] += int(np.sum(r_seg == "assistant"))
+                s[6] += int(np.sum(r_seg == "tool"))
+                s[7] += int(np.sum(r_seg == "system"))
+                s[8] += int(np.sum(has_tool[idx]))
+                s[9] = max(s[9], int(np.max(scores[idx])))
+                # within-session exact-dup counting against the carried
+                # seen-set (bounded at save time — the LRU analog)
+                seen_set = set(seen)
+                seg_shas = shas[idx]
+                seg_sigs = sig_arr[idx]
+                for j in range(len(idx)):
+                    sha = seg_shas[j]
+                    is_dup = bool(sha) and sha in seen_set
+                    if bool(sha) and not is_dup:
                         seen.append(sha)
-                        if len(seen) > _MAX_SEEN:
-                            seen.pop(0)
-                sig = getattr(r, "shingle_sig", None)
-                if sig:
-                    if sha not in seen[:-1] and any(
-                        shingle_similarity_py(sig, p) >= _NEARDUP_SIM for p in sigs
-                    ):
-                        s[11] += 1
-                    sigs.append(sig)
-                    if len(sigs) > _MAX_SIGS:
-                        sigs.pop(0)
+                        seen_set.add(sha)
+                    elif is_dup:
+                        s[10] += 1
+                    sig = seg_sigs[j]
+                    if sig:
+                        if not is_dup and sigs:
+                            g = _grams(sig, gram_cache)
+                            for p in sigs:
+                                gp = _grams(p, gram_cache)
+                                u = len(g | gp)
+                                if u and len(g & gp) / u >= _NEARDUP_SIM:
+                                    s[11] += 1
+                                    break
+                        sigs.append(sig)
+                        if len(sigs) > _MAX_SIGS:
+                            sigs.pop(0)
+                if len(seen) > _MAX_SEEN:
+                    seen = seen[-_MAX_SEEN:]
         if s is not None:
             state.update(tuple(int(x) for x in s) + (seen, sigs))
             # close when the watermark passes session_end + gap (clamped:

@@ -64,8 +64,11 @@ class IdempotentSink:
         epoch_dir = os.path.join(self.data_dir, f"epoch={epoch}")
         if os.path.exists(epoch_dir):
             shutil.rmtree(epoch_dir)  # crashed/previous attempt for this epoch
-        n = batch_df.count()
         batch_df.write.mode("overwrite").parquet(epoch_dir)
+        # row count for the manifest comes from the WRITTEN files'
+        # parquet footers (zero-column scan) — counting batch_df first
+        # would compute the whole upstream plan twice per epoch.
+        n = batch_df.sparkSession.read.parquet(epoch_dir).count()
         self._commit(epoch, n)
 
     def __call__(self, batch_df: DataFrame, epoch: int) -> None:

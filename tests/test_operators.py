@@ -246,3 +246,18 @@ class TestApproxDistinct:
         assert rows
         for r in rows:
             assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), r
+
+
+class TestPlantedNeardups:
+    def test_scaled_copies_pair_with_originals(self, spark):
+        """q_embedding_neardup plants scaled copies — every copy must
+        surface as a near-dup pair with its original (cosine == 1,
+        LSH bucket identical under positive scaling)."""
+        from spamscope_spark.plans.queries import QUERIES
+
+        pairs = QUERIES["q_embedding_neardup"](spark, "/root/testdata/sf0.001").collect()
+        found = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])) for r in pairs
+        }
+        for vid in range(25):
+            assert (vid, vid + 1_000_000_000) in found, vid
