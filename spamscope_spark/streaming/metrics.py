@@ -51,12 +51,26 @@ class MetricsListener(StreamingQueryListener):
         pass
 
     def summary(self) -> dict:
+        """Per-query rollup. `sustained_rows_per_sec` counts only
+        batches that processed data (numInputRows > 0) and only their
+        triggerExecution time: in a long-running streaming job the
+        query start and the final drain/no-data batches amortize to
+        zero — what recurs per microbatch is data-batch processing."""
         out = {}
         for name, batches in self.progress.items():
+            data = [b for b in batches if (b["numInputRows"] or 0) > 0]
             rows = sum(b["numInputRows"] or 0 for b in batches)
+            data_ms = sum(
+                (b["durationMs"] or {}).get("triggerExecution", 0) for b in data
+            )
             out[name] = {
                 "batches": len(batches),
+                "data_batches": len(data),
                 "total_input_rows": rows,
+                "data_batch_ms": data_ms,
+                "sustained_rows_per_sec": (
+                    round(rows / (data_ms / 1000.0), 1) if data_ms else None
+                ),
                 "mean_rows_per_sec": round(
                     sum(b["processedRowsPerSecond"] or 0 for b in batches)
                     / max(len(batches), 1),

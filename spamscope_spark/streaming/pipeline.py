@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -55,6 +55,11 @@ class PipelineConfig:
     window_s: int = 600
     dedup_state_timeout_ms: int = 6 * 3600 * 1000
     max_files_per_trigger: int | None = None
+    # Cascade mode: when set, session/window queries stream from this
+    # enriched-sink path instead of re-deriving enrichment from raw
+    # turns — the Storm-topology dataflow (tokenizer bolt feeds the
+    # downstream bolts exactly once, topologies/spamscope_debug.py:39-73).
+    enriched_source: str | None = None
     target_keys: dict = field(default_factory=lambda: dict(TARGET_KEYS))
     subject_keys: list = field(default_factory=lambda: list(SUBJECT_KEYS))
     whitelist: list = field(default_factory=lambda: list(WHITELIST_DOMAINS))
@@ -78,6 +83,47 @@ def read_turns_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
     return reader.parquet(cfg.input_path)
+
+
+# Column-pruned view of the enriched sink the downstream stateful
+# stages actually read — a parquet stream with a subset schema scans
+# ONLY these columns (footer projection), not the wide enriched row.
+_ENRICHED_MIN_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), False),
+        StructField("tool", StringType(), True),
+        StructField("ts", TimestampType(), False),
+        StructField("phishing_score", IntegerType(), True),
+        StructField("sha1", StringType(), True),
+        StructField("shingle_sig", StringType(), True),
+    ]
+)
+
+
+def read_enriched_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Cascade source: stream the enriched sink's epoch directories.
+    One enrichment pass feeds every downstream stage (the reference
+    computes tokenizer features once and fans out; re-deriving
+    enrichment per consumer would multiply the heaviest stage)."""
+    from ..config import ensure_py_files
+
+    ensure_py_files(spark)
+    path = os.path.join(cfg.enriched_source, "data", "epoch=*")
+    return (
+        spark.readStream.schema(_ENRICHED_MIN_SCHEMA)
+        .parquet(path)
+        .withWatermark("ts", cfg.watermark)
+    )
+
+
+def _session_input(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Input for the stateful session/window stages: the enriched sink
+    stream in cascade mode, else enrichment derived from raw turns."""
+    if cfg.enriched_source:
+        return read_enriched_stream(spark, cfg)
+    return enriched_stream(spark, cfg, dedup_flag=False)
 
 
 def enriched_stream(
@@ -135,31 +181,26 @@ SESSION_OUT_SCHEMA = StructType(
     ]
 )
 
-_SESSION_STATE_SCHEMA = StructType(
-    [
-        StructField("session_seq", LongType()),
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
-        StructField("n_turns", LongType()),
-        StructField("n_user", LongType()),
-        StructField("n_assistant", LongType()),
-        StructField("n_tool", LongType()),
-        StructField("n_system", LongType()),
-        StructField("n_tool_calls", LongType()),
-        StructField("max_phishing_score", LongType()),
-        StructField("n_duplicate_turns", LongType()),
-        StructField("n_neardup_turns", LongType()),
-        StructField("seen_hashes", ArrayType(StringType())),
-        StructField("recent_sigs", ArrayType(StringType())),
-    ]
-)
+# Per-BUCKET state: a pickled dict {conv_id: [12 counters, seen, sigs]}.
+# Keying state on a hash bucket of conv_id instead of conv_id itself is
+# the same scale move as dedup_state.py: one Python invocation + one
+# pandas column extraction per BUCKET per batch (amortized over its
+# conversations) instead of per conversation — per-group pandas call
+# overhead (~0.5 ms) at 10^6+ live conversations would otherwise
+# dominate the stage. Buckets are uniform (hash of a high-cardinality
+# key); per-bucket state stays bounded by convs/bucket.
+_SESSION_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+_SESS_BUCKET_COL = "_sess_bucket"
 
 _MAX_SEEN = 512      # bounded dedup state per session (LRU analog of the
 _MAX_SIGS = 8        # reference's maxlen deques, spamscope.example.yml:119-135)
 _NEARDUP_SIM = 0.8
 
 
-def stateful_sessionize(df: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
+def stateful_sessionize(
+    df: DataFrame, gap_s: int = 30 * 60, n_buckets: int = 1024
+) -> DataFrame:
     """Per-conv_id session windows with a gap timeout, held in keyed
     state and closed by event-time timeout when the watermark passes
     session_end + gap — the bounded version of the reference's
@@ -169,6 +210,12 @@ def stateful_sessionize(df: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
     (exact within-conversation dup count — the dedup-filter analog,
     tokenizer.py:176-186) and the last few shingle signatures for
     near-dup turn detection.
+
+    State is keyed on pmod(xxhash64(conv_id), n_buckets); each bucket
+    carries a dict of its conversations' open sessions and a single
+    event-time timer at min(session_end)+gap (expired conversations are
+    closed whenever the timer fires, the timer re-arms for the rest) —
+    per-conversation semantics are unchanged.
 
     Emits one SESSION_OUT_SCHEMA row per *closed* session."""
     # Project to the 8 columns the state function reads BEFORE the
@@ -202,6 +249,8 @@ def stateful_sessionize(df: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
             "n_neardup_turns": s[11],
         }
 
+    import pickle
+
     import numpy as np
 
     def _grams(sig: str, cache: dict) -> frozenset:
@@ -211,107 +260,130 @@ def stateful_sessionize(df: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
             cache[sig] = g
         return g
 
+    _ROLE_SLOT = {"user": 4, "assistant": 5, "tool": 6, "system": 7}
+
+    def _rearm(state: GroupState, states: dict) -> None:
+        """One event-time timer per bucket at min(session_end)+gap,
+        clamped above the watermark (Spark rejects timestamps <= wm)."""
+        min_end = min(st[0][2] for st in states.values())
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((min_end + gap_us) // 1000, wm + 1000))
+
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        conv_id = key[0]
+        # PERF: every pandas method call in here costs 100-600µs of
+        # per-call overhead, so the per-batch budget is: ONE column
+        # extraction + lexsort per bucket-pdf, then a plain-Python row
+        # loop (keying state per conv_id instead of per bucket made
+        # sort_values alone 30x the real work).
         if state.hasTimedOut:
-            s = list(state.get)
-            state.remove()
-            yield pd.DataFrame([_row(conv_id, s)])
+            states: dict = pickle.loads(state.get[0])
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            closed = []
+            remaining = {}
+            for cid, (s, seen, sigs) in states.items():
+                if s[2] + gap_us <= wm_us:
+                    closed.append(_row(cid, s))
+                else:
+                    remaining[cid] = (s, seen, sigs)
+            if remaining:
+                state.update((pickle.dumps(remaining, protocol=4),))
+                _rearm(state, remaining)
+            else:
+                state.remove()
+            if closed:
+                yield pd.DataFrame(closed)
             return
 
-        if state.exists:
-            raw = state.get
-            s = list(raw[:COUNTERS])
-            seen = list(raw[COUNTERS] or [])
-            sigs = list(raw[COUNTERS + 1] or [])
-        else:
-            s, seen, sigs = None, [], []
+        states = pickle.loads(state.get[0]) if state.exists else {}
         gram_cache: dict = {}
-        closed: list[dict] = []
+        closed = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-            n = len(pdf)
-            ts_us = (
-                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
-            )
-            # gap segmentation (rows are ts-sorted): row i opens a new
-            # session iff its gap to the previous event (or the open
-            # session's end, for row 0) exceeds gap_us
-            prev_end = np.empty(n, dtype=np.int64)
-            prev_end[1:] = ts_us[:-1]
-            prev_end[0] = s[2] if s is not None else ts_us[0]
-            new_sess = (ts_us - prev_end) > gap_us
-            if s is None:
-                new_sess[0] = True
-            seg = np.cumsum(new_sess)  # 0 = continuation of the open session
+            conv = pdf["conv_id"].values
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            order = np.lexsort((pdf["turn_idx"].values, ts_us, conv))
+            conv_l = conv[order].tolist()
+            ts_l = ts_us[order].tolist()
+            roles = pdf["role"].values[order].tolist()
+            tools = pdf["tool"].values[order].tolist()
+            scores = pdf["phishing_score"].values[order].tolist()
+            shas = pdf["sha1"].values[order].tolist()
+            sig_l = pdf["shingle_sig"].values[order].tolist()
 
-            roles = pdf["role"].to_numpy()
-            has_tool = pdf["tool"].notna().to_numpy()
-            scores = pdf["phishing_score"].fillna(0).to_numpy()
-            shas = pdf["sha1"].fillna("").to_numpy()
-            sig_arr = pdf["shingle_sig"].fillna("").to_numpy()
-
-            for seg_id in range(int(seg[0]), int(seg[-1]) + 1):
-                idx = np.nonzero(seg == seg_id)[0]
-                if seg_id > 0 or s is None:
-                    if s is not None:
-                        closed.append(_row(conv_id, s))
-                    next_seq = s[0] + 1 if s is not None else 0
-                    t0 = int(ts_us[idx[0]])
-                    s = [next_seq, t0, t0] + [0] * (COUNTERS - 3)
-                    seen, sigs = [], []
-                # vectorized per-session counters
-                s[2] = max(s[2], int(ts_us[idx[-1]]))
-                s[3] += len(idx)
-                r_seg = roles[idx]
-                s[4] += int(np.sum(r_seg == "user"))
-                s[5] += int(np.sum(r_seg == "assistant"))
-                s[6] += int(np.sum(r_seg == "tool"))
-                s[7] += int(np.sum(r_seg == "system"))
-                s[8] += int(np.sum(has_tool[idx]))
-                s[9] = max(s[9], int(np.max(scores[idx])))
-                # within-session exact-dup counting against the carried
-                # seen-set (bounded at save time — the LRU analog)
-                seen_set = set(seen)
-                seg_shas = shas[idx]
-                seg_sigs = sig_arr[idx]
-                for j in range(len(idx)):
-                    sha = seg_shas[j]
-                    is_dup = bool(sha) and sha in seen_set
-                    if bool(sha) and not is_dup:
-                        seen.append(sha)
-                        seen_set.add(sha)
-                    elif is_dup:
-                        s[10] += 1
-                    sig = seg_sigs[j]
-                    if sig:
-                        if not is_dup and sigs:
-                            g = _grams(sig, gram_cache)
-                            for p in sigs:
-                                gp = _grams(p, gram_cache)
-                                u = len(g | gp)
-                                if u and len(g & gp) / u >= _NEARDUP_SIM:
-                                    s[11] += 1
-                                    break
-                        sigs.append(sig)
-                        if len(sigs) > _MAX_SIGS:
-                            sigs.pop(0)
-                if len(seen) > _MAX_SEEN:
-                    seen = seen[-_MAX_SEEN:]
-        if s is not None:
-            state.update(tuple(int(x) for x in s) + (seen, sigs))
-            # close when the watermark passes session_end + gap (clamped:
-            # Spark rejects timeout timestamps at/below the watermark)
-            wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max((s[2] + gap_us) // 1000, wm + 1000))
+            cur = None
+            s = seen = sigs = seen_set = None
+            for j in range(len(ts_l)):
+                cid = conv_l[j]
+                if cid != cur:
+                    if cur is not None:
+                        states[cur] = (s, seen, sigs)
+                    cur = cid
+                    st = states.get(cid)
+                    if st is None:
+                        s, seen, sigs = None, [], []
+                    else:
+                        s, seen, sigs = st
+                    seen_set = set(seen)
+                t = ts_l[j]
+                if s is not None and t - s[2] > gap_us:
+                    closed.append(_row(cid, s))
+                    s = [s[0] + 1, t, t] + [0] * (COUNTERS - 3)
+                    seen, sigs, seen_set = [], [], set()
+                elif s is None:
+                    s = [0, t, t] + [0] * (COUNTERS - 3)
+                if t > s[2]:
+                    s[2] = t
+                s[3] += 1
+                slot = _ROLE_SLOT.get(roles[j])
+                if slot is not None:
+                    s[slot] += 1
+                tool = tools[j]
+                if tool is not None and tool == tool:  # not None / not NaN
+                    s[8] += 1
+                score = scores[j]
+                if score is not None and score == score and score > s[9]:
+                    s[9] = int(score)
+                sha = shas[j]
+                has_sha = isinstance(sha, str) and sha
+                is_dup = has_sha and sha in seen_set
+                if is_dup:
+                    s[10] += 1
+                elif has_sha:
+                    seen.append(sha)
+                    seen_set.add(sha)
+                    if len(seen) > _MAX_SEEN:
+                        seen_set.discard(seen[0])
+                        seen.pop(0)
+                sig = sig_l[j]
+                if isinstance(sig, str) and sig:
+                    if not is_dup and sigs:
+                        g = _grams(sig, gram_cache)
+                        for p in sigs:
+                            gp = _grams(p, gram_cache)
+                            u = len(g | gp)
+                            if u and len(g & gp) / u >= _NEARDUP_SIM:
+                                s[11] += 1
+                                break
+                    sigs.append(sig)
+                    if len(sigs) > _MAX_SIGS:
+                        sigs.pop(0)
+            if cur is not None:
+                states[cur] = (s, seen, sigs)
+        if states:
+            state.update((pickle.dumps(states, protocol=4),))
+            _rearm(state, states)
+        elif state.exists:
+            state.remove()
         if closed:
             yield pd.DataFrame(closed)
 
-    return df.groupBy("conv_id").applyInPandasWithState(
+    bucketed = df.withColumn(
+        _SESS_BUCKET_COL, F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets))
+    )
+    return bucketed.groupBy(_SESS_BUCKET_COL).applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
@@ -454,9 +526,7 @@ def start_session_query(
 ):
     """Per-session feature vectors from the custom stateful sessionizer."""
     sink = IdempotentSink(cfg.output("sessions"), keys=["conv_id", "session_id"])
-    df = stateful_sessionize(
-        enriched_stream(spark, cfg, dedup_flag=False), gap_s=cfg.gap_s
-    )
+    df = stateful_sessionize(_session_input(spark, cfg), gap_s=cfg.gap_s)
     writer = (
         df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", cfg.checkpoint("sessions"))
@@ -476,9 +546,7 @@ def start_window_query(
     sink = IdempotentSink(
         cfg.output("window_rates"), keys=["window_start", "conv_id"]
     )
-    df = windowed_rates(
-        enriched_stream(spark, cfg, dedup_flag=False), window_s=cfg.window_s
-    )
+    df = windowed_rates(_session_input(spark, cfg), window_s=cfg.window_s)
     writer = (
         df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", cfg.checkpoint("window_rates"))

@@ -183,6 +183,38 @@ class TestStatefulSessions:
         )
         assert total_dups is not None and total_dups >= 0
 
+    def test_cascade_source_matches_direct(self, spark, cfg, tmp_path):
+        """Sessions computed FROM the enriched sink stream (cascade
+        mode, one enrichment pass feeding downstream stages) must equal
+        sessions derived directly from raw turns."""
+        q, _ = start_enriched_query(spark, cfg)
+        q.awaitTermination(300)
+        direct_cfg = PipelineConfig(
+            input_path=cfg.input_path, work_dir=str(tmp_path / "direct")
+        )
+        q, direct_sink = start_session_query(spark, direct_cfg)
+        q.awaitTermination(300)
+        cascade_cfg = PipelineConfig(
+            input_path=cfg.input_path,
+            work_dir=str(tmp_path / "cascade"),
+            enriched_source=cfg.output("enriched"),
+        )
+        q, cascade_sink = start_session_query(spark, cascade_cfg)
+        q.awaitTermination(300)
+
+        def key(sink):
+            return {
+                r["session_id"]: (
+                    r["session_start"], r["session_end"], r["n_turns"],
+                    r["n_user"], r["n_tool_calls"], r["max_phishing_score"],
+                    r["n_duplicate_turns"], r["n_neardup_turns"],
+                )
+                for r in sink.read_merged(spark).collect()
+            }
+
+        direct, cascade = key(direct_sink), key(cascade_sink)
+        assert direct and direct == cascade
+
 
 class TestWindowedRates:
     def test_windows_match_batch_and_replay_idempotent(self, spark, cfg):
