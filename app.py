@@ -61,9 +61,26 @@ def main() -> None:
     spark.streams.addListener(listener)
 
     available_now = not args.continuous
+    if args.continuous:
+        # Storm-topology dataflow: one enrichment pass feeds downstream
+        # stages — sessions stream FROM the enriched sink's epochs as
+        # they land (cascade). In drain mode (availableNow) the stages
+        # run independently instead, since a drained enriched query may
+        # finish after sessions already listed its input files.
+        session_cfg = PipelineConfig(
+            input_path=args.input,
+            work_dir=args.work_dir,
+            gap_s=args.gap_s,
+            watermark=args.watermark,
+            band_s=args.band_s,
+            max_files_per_trigger=args.max_files_per_trigger,
+            enriched_source=cfg.output("enriched"),
+        )
+    else:
+        session_cfg = cfg
     queries = [
         start_enriched_query(spark, cfg, available_now=available_now)[0],
-        start_session_query(spark, cfg, available_now=available_now)[0],
+        start_session_query(spark, session_cfg, available_now=available_now)[0],
         start_join_query(spark, cfg, available_now=available_now)[0],
     ]
     for q in queries:

@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-STREAM_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000"))
+STREAM_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
 STREAM_TURNS_PER_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_TPC", "64"))
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spamscope_bench")
 
@@ -213,34 +213,57 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SCALE_4N = 4 * SCALE_N
 
 
+# Repetitions per core count, interleaved, best-of taken. This box is a
+# shared-host VM with 0-24% hypervisor steal fluctuating on a ~minute
+# timescale (measured via /proc/stat sampling — see BENCH/BASELINE.md),
+# which swings identical runs by up to 2x; best-of-N interleaved reps
+# approximates the quiet-host condition for BOTH core counts alike.
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+
+def _run_worker(cpus: int, input_path: str, work_dir: str) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable, __file__, "--stream-worker",
+            str(cpus), input_path, work_dir,
+        ],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"stream worker local[{cpus}] failed")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    shutil.rmtree(work_dir, ignore_errors=True)  # quiesce writeback
+    os.sync()
+    return res
+
+
 def run_stream_scaling() -> dict:
     input_path = os.path.join(BENCH_TMP, "turns_in")
     if os.path.exists(BENCH_TMP):
         shutil.rmtree(BENCH_TMP)
     prepare_stream_input(input_path)
-    results = {}
-    for cpus in (SCALE_N, SCALE_4N, CPUS):
-        if cpus in results:
-            continue
-        work_dir = os.path.join(BENCH_TMP, f"work_{cpus}")
-        out = subprocess.run(
-            [
-                sys.executable, __file__, "--stream-worker",
-                str(cpus), input_path, work_dir,
-            ],
-            capture_output=True, text=True, timeout=3600,
-        )
-        if out.returncode != 0:
-            sys.stderr.write(out.stderr[-4000:])
-            raise RuntimeError(f"stream worker local[{cpus}] failed")
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    lo, hi, full = results[SCALE_N], results[SCALE_4N], results[CPUS]
-    s_lo = lo.get("sustained_turns_per_sec") or lo["turns_per_sec"]
-    s_hi = hi.get("sustained_turns_per_sec") or hi["turns_per_sec"]
+    sizes = [SCALE_N, SCALE_4N] + ([CPUS] if CPUS not in (SCALE_N, SCALE_4N) else [])
+    reps: dict[int, list[dict]] = {c: [] for c in sizes}
+    for rep in range(SCALE_REPS):
+        for cpus in sizes:
+            if cpus == CPUS and rep >= max(1, SCALE_REPS - 1):
+                continue  # full-width headline: one fewer rep to save time
+            wd = os.path.join(BENCH_TMP, f"work_{cpus}_r{rep}")
+            reps[cpus].append(_run_worker(cpus, input_path, wd))
+
+    def sustained(r: dict) -> float:
+        return r.get("sustained_turns_per_sec") or r["turns_per_sec"]
+
+    lo = max(reps[SCALE_N], key=sustained)
+    hi = max(reps[SCALE_4N], key=sustained)
+    full = max(reps[CPUS], key=sustained) if reps.get(CPUS) else hi
+    s_lo, s_hi = sustained(lo), sustained(hi)
     return {
         "turns": full["turns"],
         "scale_n": SCALE_N,
         "scale_4n": SCALE_4N,
+        "reps_per_size": SCALE_REPS,
         f"wall_sec_local{SCALE_N}": lo["wall_sec"],
         f"wall_sec_local{SCALE_4N}": hi["wall_sec"],
         f"throughput_local{SCALE_N}": lo["turns_per_sec"],
@@ -255,6 +278,9 @@ def run_stream_scaling() -> dict:
         f"throughput_local{CPUS}_fullwidth": full["turns_per_sec"],
         f"stage_wall_local{SCALE_N}": lo.get("stage_wall_sec"),
         f"stage_wall_local{SCALE_4N}": hi.get("stage_wall_sec"),
+        "all_reps_sustained": {
+            str(c): [sustained(r) for r in rs] for c, rs in reps.items()
+        },
     }
 
 
