@@ -250,24 +250,42 @@ def sql_minhash_lsh_pairs(
 def simhash(text: Column, bits: int = 32) -> Column:
     """`bits`-bit SimHash over distinct word tokens; bit i of a token is
     the high bit of hex digit i of md5(token) (engine-portable). The
-    document bit is the sign of the ±1 vote sum."""
+    document bit is the sign of the ±1 vote sum.
+
+    Single-pass shape: one aggregate over the token array carrying a
+    `bits`-wide vote vector (zip_with add), md5 computed once per token
+    — the naive per-bit form re-traverses the array (and re-hashes
+    every token) `bits` times, which made this the slowest text
+    operator at sf0.1. Semantics (and the DuckDB oracle) unchanged."""
     assert bits <= 32
     toks = F.array_distinct(
         F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+")
     )
-    hashes = F.transform(toks, lambda t: F.md5(t))
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.conv(h.substr(i + 1, 1), 16, 10).cast("int") >= 8, F.lit(1)
+
+    def token_votes(t: Column) -> Column:
+        h = F.md5(t)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.when(
+                F.conv(h.substr(i, F.lit(1)), 16, 10).cast("int") >= 8, F.lit(1)
             ).otherwise(F.lit(-1)),
         )
-        out = out + F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    return out
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
+    )
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def sql_simhash(text_expr: str, bits: int = 32) -> str:
