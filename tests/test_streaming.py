@@ -274,3 +274,26 @@ class TestStreamStreamJoin:
         query2, sink2 = start_join_query(spark, cfg)
         query2.awaitTermination(300)
         assert len(got) == sink2.read_merged(spark).count()
+
+
+class TestIcebergSinkPath:
+    def test_factory_falls_back_without_runtime(self, spark, tmp_path):
+        """No Iceberg jar in this sandbox: make_sink must return the
+        parquet+manifest sink with the same interface."""
+        from spamscope_spark.streaming.iceberg_sink import (
+            iceberg_available,
+            make_sink,
+            merge_sql,
+        )
+
+        assert iceberg_available(spark) is False
+        sink = make_sink(spark, str(tmp_path / "s"), keys=["conv_id", "turn_idx"])
+        assert isinstance(sink, IdempotentSink)
+        # the production MERGE statement (string-level contract)
+        sql = merge_sql("cat.db.turns", ["conv_id", "turn_idx"])
+        assert sql == (
+            "MERGE INTO cat.db.turns t USING _batch_src s "
+            "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
