@@ -53,6 +53,7 @@ class PipelineConfig:
     watermark: str = "4 hours"
     band_s: int = 600
     window_s: int = 600
+    slide_s: int | None = None  # sliding windows when set (else tumbling)
     dedup_state_timeout_ms: int = 6 * 3600 * 1000
     max_files_per_trigger: int | None = None
     # Cascade mode: when set, session/window queries stream from this
@@ -476,15 +477,24 @@ def tool_response_stream_join(
 # ---------------------------------------------------------------------------
 
 
-def windowed_rates(df: DataFrame, window_s: int = 600) -> DataFrame:
-    """Per-(conv_id, tumbling window) turn/tool/score rates — the
-    SURVEY §7 'tumbling window aggregates (per-conversation rates)'
-    stage. Partial aggregation is map-side; the window column is a
-    pure function of ts so no extra shuffle beyond the groupBy. On a
-    stream the upstream watermark bounds state: a window's row is
-    emitted (append mode) once the watermark passes window.end."""
+def windowed_rates(
+    df: DataFrame, window_s: int = 600, slide_s: int | None = None
+) -> DataFrame:
+    """Per-(conv_id, tumbling-or-sliding window) turn/tool/score rates —
+    the SURVEY §7 'tumbling/sliding window aggregates (per-conversation
+    rates)' stage. Partial aggregation is map-side; the window column is
+    a pure function of ts so no extra shuffle beyond the groupBy (a
+    sliding window fans each row out to window/slide windows before the
+    same shuffle). On a stream the upstream watermark bounds state: a
+    window's row is emitted (append mode) once the watermark passes
+    window.end."""
+    w = (
+        F.window("ts", f"{window_s} seconds", f"{slide_s} seconds")
+        if slide_s
+        else F.window("ts", f"{window_s} seconds")
+    )
     return (
-        df.groupBy(F.window("ts", f"{window_s} seconds").alias("w"), "conv_id")
+        df.groupBy(w.alias("w"), "conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_calls"),
@@ -546,7 +556,9 @@ def start_window_query(
     sink = IdempotentSink(
         cfg.output("window_rates"), keys=["window_start", "conv_id"]
     )
-    df = windowed_rates(_session_input(spark, cfg), window_s=cfg.window_s)
+    df = windowed_rates(
+        _session_input(spark, cfg), window_s=cfg.window_s, slide_s=cfg.slide_s
+    )
     writer = (
         df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", cfg.checkpoint("window_rates"))

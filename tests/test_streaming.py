@@ -254,6 +254,39 @@ class TestWindowedRates:
         query2.awaitTermination(300)
         assert sink2.read_merged(spark).count() == len(got)
 
+    def test_sliding_windows_match_batch(self, spark, cfg):
+        """Sliding variant: each turn belongs to window/slide windows;
+        emitted closed-window values must equal the batch computation."""
+        cfg.slide_s = cfg.window_s // 2
+        query, sink = start_window_query(spark, cfg)
+        query.awaitTermination(300)
+        got = {
+            (r["window_start"], r["conv_id"]): (
+                r["n_turns"], r["n_tool_calls"], r["n_user"], r["max_phishing_score"]
+            )
+            for r in sink.read_merged(spark).collect()
+        }
+        assert len(got) > 0
+        batch = windowed_rates(
+            enrich_turns(spark.read.parquet(cfg.input_path), dedup_flag=False),
+            window_s=cfg.window_s,
+            slide_s=cfg.slide_s,
+        ).collect()
+        exp = {
+            (r["window_start"], r["conv_id"]): (
+                r["n_turns"], r["n_tool_calls"], r["n_user"], r["max_phishing_score"]
+            )
+            for r in batch
+        }
+        for k, v in got.items():
+            assert exp[k] == v, k
+        # overlapping windows: strictly more window rows than turns/window
+        tumbling = windowed_rates(
+            enrich_turns(spark.read.parquet(cfg.input_path), dedup_flag=False),
+            window_s=cfg.window_s,
+        ).count()
+        assert len(exp) > tumbling
+
 
 class TestStreamStreamJoin:
     def test_pairs_match_batch_join(self, spark, cfg):
