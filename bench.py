@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-STREAM_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
+STREAM_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "6000"))
 STREAM_TURNS_PER_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_TPC", "64"))
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spamscope_bench")
 
@@ -124,7 +124,9 @@ def stream_worker(cpus: int, input_path: str, work_dir: str) -> dict:
             "spark.sql.files.openCostInBytes": "1m",
         },
     )
-    def run_pipeline(input_p: str, wd: str) -> dict[str, float]:
+    def run_pipeline(
+        input_p: str, wd: str, subset: set[str] | None = None
+    ) -> dict[str, float]:
         """Cascade: enrich once (heavy stage, exactly-once sink), then
         sessions + windows stream FROM the enriched sink (the Storm
         fan-out: tokenizer feeds downstream bolts once); the tool join
@@ -143,6 +145,8 @@ def stream_worker(cpus: int, input_path: str, work_dir: str) -> dict:
         ]
         walls: dict[str, float] = {}
         for name, start, c in stages:
+            if subset is not None and name not in subset:
+                continue
             s0 = time.time()
             q, _ = start(spark, c)
             q.awaitTermination()
@@ -157,12 +161,17 @@ def stream_worker(cpus: int, input_path: str, work_dir: str) -> dict:
     )
 
     # warmup: enough partitions to fork every core's Python worker and
-    # touch every code path (incl. first-allocation page faults)
+    # touch the Python-heavy code paths (incl. first-allocation page
+    # faults, which are pathologically slow on this VM). The pure-JVM
+    # stages (windows, join) only need codegen warm, which the enriched
+    # query's shared scan/shuffle machinery already provides.
     warm_in = os.path.join(work_dir, "warmup_in")
     generate_turns(spark, n_convs=256, turns_per_conv=16).repartition(
         2 * cpus
     ).write.mode("overwrite").parquet(warm_in)
-    run_pipeline(warm_in, os.path.join(work_dir, "warmup"))
+    run_pipeline(
+        warm_in, os.path.join(work_dir, "warmup"), subset={"enriched", "sessions"}
+    )
 
     listener = MetricsListener()
     spark.streams.addListener(listener)
