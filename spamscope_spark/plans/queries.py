@@ -1436,6 +1436,53 @@ def q_array_hof(spark, sf_dir):
 
 
 @query(
+    "q_nested_explode",
+    """
+    WITH a AS (
+      SELECT doc_id,
+        flatten(list_transform(range(1, 2 + doc_id % 3),
+          i -> list_transform(range(1, 2 + (doc_id + i) % 2),
+            j -> struct_pack(member_id := doc_id*100 + i*10 + j,
+                             sz := (doc_id*7 + i*3 + j) % 1000)))) AS members
+      FROM documents)
+    SELECT CAST(doc_id % 10 AS INTEGER) AS bucket,
+        CAST(SUM(len(members)) AS BIGINT) AS n_members,
+        CAST(SUM(list_aggregate(list_transform(members, m -> m.sz), 'sum')) AS BIGINT) AS total_sz,
+        CAST(MAX(list_aggregate(list_transform(members, m -> m.member_id), 'max')) AS BIGINT) AS max_member
+    FROM a GROUP BY doc_id % 10
+    """,
+)
+def q_nested_explode(spark, sf_dir):
+    """Two-level nested flat-map — the recursive archive-member
+    expansion analog (attachments[] → files[] rows, reference
+    src/modules/attachments/attachments.py:277-344): a deterministic
+    array<struct<..., members: array<struct>>> is built per document,
+    exploded twice, and aggregated. Catalyst keeps both GENERATE nodes
+    narrow (no shuffle until the final groupBy)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    atts = F.transform(
+        F.sequence(F.lit(1).cast("long"), F.col("doc_id") % 3 + 1),
+        lambda i: F.struct(
+            (F.col("doc_id") * 10 + i).alias("att_id"),
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), (F.col("doc_id") + i) % 2 + 1),
+                lambda j: F.struct(
+                    (F.col("doc_id") * 100 + i * 10 + j).alias("member_id"),
+                    ((F.col("doc_id") * 7 + i * 3 + j) % 1000).alias("sz"),
+                ),
+            ).alias("members"),
+        ),
+    )
+    ex = d.select("doc_id", F.explode(atts).alias("a"))
+    ex2 = ex.select("doc_id", F.explode("a.members").alias("m"))
+    return ex2.groupBy((F.col("doc_id") % 10).cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("m.sz").alias("total_sz"),
+        F.max("m.member_id").alias("max_member"),
+    )
+
+
+@query(
     "q_wordcount",
     f"""
     WITH w AS (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
