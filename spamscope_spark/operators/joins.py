@@ -59,36 +59,68 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the single nearest right row at or
     before (backward) / at or after (forward) its timestamp, per key.
+    Left-join semantics: a left row with no match keeps null r_* columns.
 
-    Implemented as equality join + time predicate + row_number pick —
-    the shuffle is on the equality keys, so at scale this is a standard
-    hash join followed by a per-left-row top-1 (no cross product beyond
-    the horizon window)."""
-    lid = "_asof_lid"
-    lhs = left.withColumn(lid, F.monotonically_increasing_id())
-    rhs = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
-    eq = F.lit(True)
-    for c in on:
-        eq = eq & (lhs[c] == F.col(f"r_{c}"))
-    rts = F.col(f"r_{right_ts}")
-    lts = lhs[left_ts]
+    Implemented in the sort-merge form: both sides are tagged and
+    UNIONed, one window per equality key ordered by timestamp carries
+    the running `last(right_row, ignorenulls)` — ONE shuffle on the
+    keys, O(L+R) per key, with NO intermediate pair expansion. (The
+    naive equality-join + row_number form materializes every
+    (left, earlier-right) pair per key before pruning — O(L×R) on a hot
+    key, quadratic at scale.)
+
+    Ties: among right rows sharing the winning timestamp, the highest
+    `tiebreak` tuple wins (they sort ascending, so the running `last`
+    lands on the max). `horizon_s` bounds how stale a match may be —
+    matches outside the horizon are nulled (same rows as a bounded
+    join + prune would yield)."""
+    ts_c, side_c, match_c = "_asof_ts", "_asof_side", "_asof_match"
+    l_struct = F.struct(*[left[c].alias(c) for c in left.columns])
+    r_struct = F.struct(*[right[c].alias(c) for c in right.columns])
+    lhs = left.select(
+        *[left[c].alias(c) for c in on],
+        F.col(left_ts).alias(ts_c),
+        F.lit(1).alias(side_c),
+        l_struct.alias("_l"),
+        F.lit(None).cast(right.schema).alias("_r"),
+    )
+    rhs = right.select(
+        *[right[c].alias(c) for c in on],
+        F.col(right_ts).alias(ts_c),
+        F.lit(0).alias(side_c),
+        F.lit(None).cast(left.schema).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    u = lhs.unionByName(rhs)
+    # Scan order: right rows sort before left rows at equal ts (the
+    # comparison is inclusive), so a left row's frame already contains
+    # same-timestamp right rows; tiebreak ascending makes the running
+    # `last` pick the max tiebreak among equal-ts candidates.
     if direction == "backward":
-        cond = rts <= lts
-        if horizon_s is not None:
-            cond = cond & (rts >= lts - F.expr(f"INTERVAL {horizon_s} SECONDS"))
-        order = [rts.desc()]
+        order = [F.col(ts_c).asc(), F.col(side_c).asc()]
     else:
-        cond = rts >= lts
-        if horizon_s is not None:
-            cond = cond & (rts <= lts + F.expr(f"INTERVAL {horizon_s} SECONDS"))
-        order = [rts.asc()]
-    order += [F.col(f"r_{c}").desc() for c in (tiebreak or [])]
-    joined = lhs.join(rhs, on=eq & cond, how="left")
-    w = Window.partitionBy(lid).orderBy(*order)
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", lid)
+        order = [F.col(ts_c).desc(), F.col(side_c).asc()]
+    order += [F.col(f"_r.{c}").asc() for c in (tiebreak or [])]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.withColumn(match_c, F.last("_r", ignorenulls=True).over(w)).where(
+        F.col(side_c) == 1
+    )
+    if horizon_s is not None:
+        m_ts = F.col(f"{match_c}.{right_ts}")
+        if direction == "backward":
+            in_horizon = m_ts >= F.col(ts_c) - F.expr(f"INTERVAL {horizon_s} SECONDS")
+        else:
+            in_horizon = m_ts <= F.col(ts_c) + F.expr(f"INTERVAL {horizon_s} SECONDS")
+        out = out.withColumn(
+            match_c, F.when(in_horizon, F.col(match_c))  # else null (no match)
+        )
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"{match_c}.{c}").alias(f"r_{c}") for c in right.columns],
     )
 
 
