@@ -67,22 +67,48 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 # ---------------------------------------------------------------------------
 
 
+def hot_keys(flat: DataFrame, key: str, cap: int) -> DataFrame:
+    """Keys whose document frequency exceeds `cap` — the candidate-
+    generation poison at scale: ONE boilerplate shingle (or one overfull
+    LSH bucket) shared by 1M docs creates a quadratic candidate set.
+    The result is by construction tiny (≤ distinct_keys/cap rows), so
+    the caller anti-joins it broadcast. Callers should count/log it —
+    no silent capping (see bench.py / tests)."""
+    return (
+        flat.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("key_df"))
+        .where(F.col("key_df") > cap)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.6,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) ≥ t.
 
     explode → self-equi-join on shingle → count per pair = |∩|, then
     |∪| = |A|+|B|-|∩|. Candidate generation is the shingle join, so
-    disjoint documents never meet (no cross product)."""
+    disjoint documents never meet (no cross product).
+
+    `max_doc_freq` drops shingles shared by more than that many docs
+    from candidate generation (broadcast anti-join against the tiny
+    hot-key set) — without it one boilerplate sentence shared by 1M
+    docs yields ~10^12 candidate pairs. Dropped shingles still count
+    in |A|/|B| (denominator unchanged); pairs whose ONLY common
+    shingles are boilerplate no longer surface, which is the point.
+    The same cap is applied in the SQL oracle twin."""
     sh = df.select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     flat = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        hot = hot_keys(flat, "shingle", max_doc_freq).select("shingle")
+        flat = flat.join(F.broadcast(hot), on="shingle", how="left_anti")
     a = flat.select(
         F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
     )
@@ -106,14 +132,26 @@ def ngram_jaccard_pairs(
 
 
 def sql_ngram_jaccard_pairs(
-    table: str, id_col: str, text_col: str = "text", n: int = 3, threshold: float = 0.6
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = 1000,
 ) -> str:
     sh = sql_word_shingles(text_col, n)
+    df_filter = (
+        f"QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {max_doc_freq}"
+        if max_doc_freq is not None
+        else ""
+    )
     return f"""
     WITH sh AS (
         SELECT {id_col} AS doc, {sh} AS shl FROM {table}
-    ), sized AS (
+    ), sized0 AS (
         SELECT doc, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+    ), sized AS (
+        SELECT * FROM sized0 {df_filter}
     ), pairs AS (
         SELECT a.doc AS id_a, b.doc AS id_b, a.n_sh AS na, b.n_sh AS nb,
                CAST(COUNT(*) AS BIGINT) AS inter
@@ -156,6 +194,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH candidate pairs with minhash-estimated similarity ≥ t.
 
@@ -163,7 +202,14 @@ def minhash_lsh_pairs(
     same bucket (shuffle key = (band, bucket-hash)); estimate =
     (# equal signature components)/k over candidates. The estimate
     converges to true Jaccard; the exact verifier is
-    ngram_jaccard_pairs run on the candidate subset."""
+    ngram_jaccard_pairs run on the candidate subset.
+
+    `max_bucket_size` drops (band, bucket) groups holding more than
+    that many docs before the self-join — an overfull bucket (e.g. a
+    minhash tier dominated by boilerplate) is the standard first
+    failure of LSH at 100 TB: one 1M-doc bucket = 10^12 pairs. A true
+    near-dup cluster bigger than the cap still pairs through its OTHER
+    bands (n_bands chances per pair). Same cap in the SQL twin."""
     sig = minhash_signatures(df, id_col, text_col, k=k, n=n)
     n_bands = k // rows_per_band
     bands = []
@@ -178,6 +224,15 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "doc", *[F.col(f"mh{i}") for i in range(k)], F.explode(F.array(*bands)).alias("bb")
     ).select("doc", *[f"mh{i}" for i in range(k)], "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        hot = hot_keys(
+            buckets.select(F.concat_ws("|", "band", "bucket").alias("bkey")),
+            "bkey",
+            max_bucket_size,
+        ).select("bkey")
+        buckets = buckets.withColumn(
+            "bkey", F.concat_ws("|", "band", "bucket")
+        ).join(F.broadcast(hot), on="bkey", how="left_anti").drop("bkey")
 
     a = buckets.select(
         F.col("doc").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)], "band", "bucket"
@@ -209,6 +264,7 @@ def sql_minhash_lsh_pairs(
     rows_per_band: int = 2,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> str:
     sh = sql_word_shingles(text_col, n)
     mins = ",\n            ".join(
@@ -222,6 +278,11 @@ def sql_minhash_lsh_pairs(
         )
         band_rows.append(f"SELECT doc, {', '.join(f'mh{i}' for i in range(k))}, {band} AS band, md5({comps}) AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_rows)
+    bucket_filter = (
+        f"QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {max_bucket_size}"
+        if max_bucket_size is not None
+        else ""
+    )
     eq_terms = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
@@ -230,8 +291,10 @@ def sql_minhash_lsh_pairs(
         SELECT {id_col} AS doc, unnest({sh.replace(text_col, text_col)}) AS shingle FROM {table}
     ), sig AS (
         SELECT doc, {mins} FROM flat GROUP BY doc
-    ), buckets AS (
+    ), buckets0 AS (
         {buckets}
+    ), buckets AS (
+        SELECT * FROM buckets0 {bucket_filter}
     ), cand AS (
         SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
                round(CAST({eq_terms} AS DOUBLE) / {float(k)}, 6) AS est_jaccard

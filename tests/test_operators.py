@@ -211,6 +211,55 @@ class TestDedup:
         assert pairs[(1, 2)] == 1.0
         assert all(a < b for a, b in pairs)
 
+    @pytest.fixture(scope="class")
+    def skewed_docs(self, spark):
+        """60 of 200 docs share one boilerplate sentence (the hot-key
+        candidate-blowup shape from VERDICT r1 'what's wrong' #2), plus
+        one planted near-dup pair with distinctive text."""
+        hot = "this message was scanned by the corporate gateway and found clean"
+        rows = []
+        for i in range(200):
+            if i < 60:
+                rows.append((i, f"{hot} tag{i} marker{i * 7} suffix{i * 13}"))
+            else:
+                rows.append((i, f"doc {i} body {i * 3} words {i * 11} tail {i * 17}"))
+        rows.append((1000, "alpha beta gamma delta epsilon zeta eta theta iota"))
+        rows.append((1001, "alpha beta gamma delta epsilon zeta eta theta kappa"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ngram_jaccard_doc_freq_cap(self, spark, skewed_docs):
+        capped = dedup.ngram_jaccard_pairs(
+            skewed_docs, "doc_id", n=3, threshold=0.3, max_doc_freq=10
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in capped}
+        # the planted pair survives (its shingles are below the cap)...
+        assert (1000, 1001) in pairs
+        # ...while the 60 boilerplate docs — whose ONLY shared shingles
+        # are the hot sentence — generate no candidate blowup
+        # (uncapped they'd emit up to C(60,2)=1770 pairs).
+        hot_pairs = [p for p in pairs if p[0] < 60 and p[1] < 60]
+        assert not hot_pairs
+        assert len(pairs) < 50
+        # hot_keys reports what the cap dropped — the no-silent-cap hook
+        flat = skewed_docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(dedup.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        hot = dedup.hot_keys(flat, "shingle", 10).collect()
+        assert all(r["key_df"] == 60 for r in hot) and len(hot) > 0
+
+    def test_minhash_lsh_bucket_cap(self, spark, skewed_docs):
+        capped = dedup.minhash_lsh_pairs(
+            skewed_docs, "doc_id", k=8, rows_per_band=2, n=3,
+            threshold=0.4, max_bucket_size=10,
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in capped}
+        assert (1000, 1001) in pairs
+        hot_pairs = [p for p in pairs if p[0] < 60 and p[1] < 60]
+        # overfull boilerplate buckets are dropped; stragglers that pair
+        # through sparse bands are fine — no quadratic set
+        assert len(hot_pairs) < 100
+
     def test_simhash_identical_for_dups(self, spark, docs):
         sh = {
             r["doc_id"]: r["sh"]
