@@ -63,9 +63,11 @@ def shingle_signatures_batch(texts: pd.Series) -> pd.Series:
     Content-defined chunking: a 7-byte rolling polynomial hash anchors
     chunk boundaries wherever `roll % mod == mod-1` (mod adapted to the
     text's length); each anchor contributes one base64 char derived
-    from the anchor window's hash, plus one tail char per text. Local
-    edits perturb only the chunks they touch — unedited regions
-    re-anchor identically — which is the ssdeep near-dup contract.
+    from the anchor window's hash FOLDED WITH the whole chunk's content
+    (running sum of the chunk's window hashes), plus one tail char per
+    text. Local edits perturb only the chunks they touch — unedited
+    regions re-anchor identically AND any intra-chunk edit changes that
+    chunk's char — which is the ssdeep near-dup contract.
 
     Texts sharing a modulus tier are concatenated into one buffer and
     scanned with whole-buffer numpy ops; windows straddling a text
@@ -114,16 +116,44 @@ def shingle_signatures_batch(texts: pd.Series) -> pd.Series:
         anchors = anchors[keep]
         a_text = a_text[keep]
 
-        # one 6-bit char per anchor (mixed window hash), grouped by text
-        a_chars = _B64_BYTES[((roll[anchors] * _MIX) >> np.uint32(26)).astype(np.int64)]
-        # tail char per text: hash of the text's final full window
+        # Each signature char folds in the WHOLE chunk's content — the
+        # modular running sum of every window hash since the previous
+        # anchor (or the text start) — not just the 7-byte anchor
+        # window: an edit strictly inside a chunk perturbs the covered
+        # window hashes and therefore the char, which is the ssdeep
+        # chunk-content contract (an anchor-window-only char leaves
+        # intra-chunk edits invisible). cumsum differences keep it one
+        # vectorized pass; only in-text windows ever enter a diff
+        # (chunk ranges never cross the straddle windows at text ends),
+        # so signatures stay independent of batch composition.
+        cs = np.zeros(L + 1, dtype=np.uint32)
+        np.cumsum(roll, out=cs[1:])
+        starts_w = ends - tlens  # per-text first window position
+        counts = np.bincount(a_text, minlength=len(tier))
+        prev = np.empty(len(anchors), dtype=np.int64)
+        if len(anchors):
+            prev[1:] = anchors[:-1] + 1
+            prev[0] = 0
+            first = np.empty(len(anchors), dtype=bool)
+            first[0] = True
+            first[1:] = a_text[1:] != a_text[:-1]
+            prev[first] = starts_w[a_text[first]]
+        chunk_sum = cs[anchors + 1] - cs[prev]
+        a_chars = _B64_BYTES[
+            (((roll[anchors] + chunk_sum) * _MIX) >> np.uint32(26)).astype(np.int64)
+        ]
+        # tail char per text: final full window + the tail chunk's
+        # content (windows after the text's last anchor)
+        tail_w = ends - _WINDOW
+        tail_start = starts_w.astype(np.int64)
+        has = counts > 0
+        cc = np.cumsum(counts)
+        tail_start[has] = anchors[cc[has] - 1] + 1
+        t_sum = cs[tail_w + 1] - cs[tail_start]
         t_chars = _B64_BYTES[
-            ((roll[np.minimum(ends - _WINDOW, L - 1)] * _MIX) >> np.uint32(26)).astype(
-                np.int64
-            )
+            (((roll[tail_w] + t_sum) * _MIX) >> np.uint32(26)).astype(np.int64)
         ]
 
-        counts = np.bincount(a_text, minlength=len(tier))
         splits = np.cumsum(counts)[:-1]
         for j, chunk in enumerate(np.split(a_chars, splits)):
             body = chunk[:_MAX_CHARS].tobytes().decode("ascii")

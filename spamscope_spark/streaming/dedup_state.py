@@ -88,13 +88,19 @@ def flag_duplicates(
         seen: list[str] = list(state.get[0]) if state.exists else []
         seen_set = set(seen)
         max_ts_ms = 0
-        for pdf in pdfs:
+        # Arrow delivers a bucket's batch rows as MULTIPLE chunks when
+        # the group exceeds maxRecordsPerBatch (routine with bucketed
+        # keys); sorting chunks independently would break the
+        # "globally-first occurrence by (ts, conv_id, turn_idx)"
+        # guarantee across chunk boundaries — concat once, sort once
+        # (per-batch bucket size is bounded by the microbatch).
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             if sort_cols:
                 pdf = pdf.sort_values(sort_cols, kind="mergesort")
-            if "ts" in pdf.columns and len(pdf):
-                max_ts_ms = max(
-                    max_ts_ms, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
-                )
+            if "ts" in pdf.columns:
+                max_ts_ms = int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
             hashes = pdf[key]
             # flagged iff seen in state OR a previous row in this batch
             flagged = hashes.isin(seen_set) | hashes.duplicated(keep="first")

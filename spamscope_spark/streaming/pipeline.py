@@ -300,9 +300,13 @@ def stateful_sessionize(
         states = pickle.loads(state.get[0]) if state.exists else {}
         gram_cache: dict = {}
         closed = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Concat Arrow chunks before the lexsort: a bucket bigger than
+        # maxRecordsPerBatch arrives as several chunks, and per-chunk
+        # sorting would mis-order turns across the chunk boundary
+        # (gap/session logic depends on global (conv, ts, turn) order).
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             conv = pdf["conv_id"].values
             ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
             order = np.lexsort((pdf["turn_idx"].values, ts_us, conv))

@@ -60,15 +60,31 @@ class IdempotentSink:
         first attempt (e.g. FileStreamSource reconstructs an unpersisted
         file-list offset by re-listing, picking up files that arrived in
         between). Skipping on "already committed" would silently drop
-        those rows; overwriting converges to the re-delivered batch."""
+        those rows; overwriting converges to the re-delivered batch.
+
+        The epoch directory appears ATOMICALLY: the batch is written to
+        a staging dir (leading "_", so parquet listings ignore it) and
+        renamed into place — a concurrent reader (the cascade stream
+        tails epoch=* dirs) never lists a half-written epoch, and on a
+        replay the old dir is swapped out in two renames (µs window)
+        instead of an rmtree + full rewrite with new part names under
+        the reader's feet."""
         epoch_dir = os.path.join(self.data_dir, f"epoch={epoch}")
-        if os.path.exists(epoch_dir):
-            shutil.rmtree(epoch_dir)  # crashed/previous attempt for this epoch
-        batch_df.write.mode("overwrite").parquet(epoch_dir)
+        staging = os.path.join(self.path, f"_staging_epoch_{epoch}")
+        trash = os.path.join(self.path, f"_trash_epoch_{epoch}")
+        for d in (staging, trash):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        batch_df.write.mode("overwrite").parquet(staging)
         # row count for the manifest comes from the WRITTEN files'
         # parquet footers (zero-column scan) — counting batch_df first
         # would compute the whole upstream plan twice per epoch.
-        n = batch_df.sparkSession.read.parquet(epoch_dir).count()
+        n = batch_df.sparkSession.read.parquet(staging).count()
+        if os.path.exists(epoch_dir):  # crashed/previous attempt
+            os.rename(epoch_dir, trash)
+        os.rename(staging, epoch_dir)
+        if os.path.exists(trash):
+            shutil.rmtree(trash)
         self._commit(epoch, n)
 
     def __call__(self, batch_df: DataFrame, epoch: int) -> None:

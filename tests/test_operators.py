@@ -346,12 +346,22 @@ class TestApproxDistinct:
 
 class TestPlantedNeardups:
     def test_scaled_copies_pair_with_originals(self, spark):
-        """q_embedding_neardup plants scaled copies — every copy must
-        surface as a near-dup pair with its original (cosine == 1,
-        LSH bucket identical under positive scaling)."""
-        from spamscope_spark.plans.queries import QUERIES
-
-        pairs = QUERIES["q_embedding_neardup"](spark, "/root/testdata/sf0.001").collect()
+        """Plant scaled copies of the first 25 corpus vectors — every
+        copy must surface as a near-dup pair with its original (cosine
+        == 1, LSH bucket identical under positive scaling). The
+        planting lives HERE, not in the registered query, which runs
+        pure on the corpus."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        copies = emb.orderBy("vec_id").limit(25).select(
+            (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.01))
+            .cast("array<float>")
+            .alias("embedding"),
+            "label",
+        )
+        pairs = similarity.embedding_neardup_pairs(
+            emb.unionByName(copies), threshold=0.9, n_planes=4
+        ).collect()
         found = {
             (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])) for r in pairs
         }
