@@ -729,6 +729,56 @@ def q_phishing_score(spark, sf_dir):
     )
 
 
+def _sql_rule_score_query() -> str:
+    from ..functions.rulescore import sql_rule_score_columns
+
+    cols = sql_rule_score_columns("t2")
+    return f"""
+    WITH d AS (SELECT doc_id, {SQL_DERIVED_TEXT} AS t2 FROM documents)
+    SELECT doc_id, {cols['sa_score']} AS sa_score,
+           {cols['n_rules']} AS n_rules, {cols['rules']} AS rules
+    FROM d
+    """
+
+
+@query("q_rule_score", _sql_rule_score_query())
+def q_rule_score(spark, sf_dir):
+    """spamassassin-analog rule-table scorer: named rules → points →
+    report (spamassassin_analysis.py:34-150 recast as pure column
+    expressions; the flattened columns carry the report's details)."""
+    from ..functions.rulescore import with_rule_score
+
+    d = _t(spark, sf_dir, "documents").withColumn("t2", derived_text())
+    scored = with_rule_score(d, "t2")
+    return scored.select(
+        "doc_id",
+        "sa_score",
+        F.size("sa_details").alias("n_rules"),
+        F.array_join(
+            F.transform("sa_details", lambda x: x["rule"]), ","
+        ).alias("rules"),
+    )
+
+
+def _sql_dialect_query() -> str:
+    from ..functions.dialects import sql_dialect_fingerprints
+
+    return sql_dialect_fingerprints("events", "user_id", "event_type")
+
+
+@query("q_dialect_fingerprint", _sql_dialect_query())
+def q_dialect_fingerprint(spark, sf_dir):
+    """dialect classification + fingerprint (dialects.py:249-324): per
+    user, the distinct priority-ordered phrasings of its commands →
+    canonical dialect string → md5/sha fingerprints."""
+    from ..functions.dialects import dialect_fingerprints
+
+    e = _t(spark, sf_dir, "events")
+    return dialect_fingerprints(e, "user_id", "event_type").select(
+        "user_id", "dialect", "dialect_md5", "dialect_sha256"
+    )
+
+
 _TEXT_SQL = "coalesce(text, '')"
 
 

@@ -191,3 +191,151 @@ class TestFingerprints:
         assert a == b
         assert a[0] == "321c3cf486ed509164edec1e1981fec8"
         assert len(a[1]) == 40 and len(a[2]) == 64 and len(a[3]) == 128
+
+
+class TestRuleScore:
+    """Reference report-shape golden (tests/test_spamassassin.py:52-67
+    asserts: report is a dict with float `score` and list `details` of
+    {pts, rule name, description}; mail_thug scores 5.8 over 3 rules).
+    Our deterministic rule table reproduces the shape exactly; the
+    crafted text below fires exactly 3 rules for a known total."""
+
+    def test_report_shape_and_golden_score(self):
+        from spamscope_spark.functions.rulescore import report_py
+
+        text = (
+            "URGENT!! please send the payment now via "
+            "http://phish.example/pay"
+        )
+        report = report_py(text)
+        assert isinstance(report, dict)
+        assert isinstance(report["score"], float)
+        assert isinstance(report["details"], list)
+        for d in report["details"]:
+            assert set(d) == {"pts", "rule name", "description"}
+        names = {d["rule name"] for d in report["details"]}
+        # URI (0.5) + payment kw (2.5) + urgency (1.2) + punct (0.8)
+        assert names == {"URI_PRESENT", "PAY_KEYWORDS", "URGENCY", "EXCESS_PUNCT"}
+        assert report["score"] == 5.0
+
+    def test_empty_text(self):
+        from spamscope_spark.functions.rulescore import report_py
+
+        r = report_py("")
+        assert r["score"] == 0.5  # TINY_BODY only
+        assert [d["rule name"] for d in r["details"]] == ["TINY_BODY"]
+
+    def test_spark_matches_py(self, spark):
+        import pyspark.sql.functions as F
+
+        from spamscope_spark.functions.rulescore import (
+            report_py,
+            with_rule_score,
+        )
+
+        texts = [
+            "URGENT!! please send the payment now",
+            "hello",
+            "a perfectly normal sentence about distributed query engines",
+            "<form action='x'> verify your account immediately",
+            "QUIT " + "QWxhZGRpbjpvcGVuIHNlc2FtZQ" * 3,
+            None,
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        rows = with_rule_score(df, "text").select("id", "sa_score", "sa_details").collect()
+        for r in rows:
+            exp = report_py(texts[r["id"]] or "")
+            assert r["sa_score"] == exp["score"], texts[r["id"]]
+            assert [d["rule"] for d in r["sa_details"]] == [
+                d["rule name"] for d in exp["details"]
+            ]
+
+
+class TestDialect:
+    """Ported from the reference's tests/test_dialect.py:30-111: the
+    SMTP session fixture must classify to the exact dialect list
+    ["EHLO ", "MAIL FROM:", "RCPT TO:", "DATA", "QUIT"], duplicate and
+    interleaved client commands must not change it, and the canonical
+    string joins with single spaces."""
+
+    MESSAGES = [
+        ("server", "220 localhost ESMTP Postfix"),
+        ("server", "250-ENHANCEDSTATUSCODES"),
+        ("server", "250-localhost"),
+        ("client", "EHLO vip.90.com"),
+        ("server", "250-PIPELINING"),
+        ("server", "250-SIZE 10240000"),
+        ("server", "250-ETRN"),
+        ("server", "250 DSN"),
+        ("server", "250-8BITMIME"),
+        ("server", "250-VRFY"),
+        ("client", "MAIL FROM:<sywangwq@vip.90.com>"),
+        ("server", "250 2.1.0 Ok"),
+        ("client", "RCPT TO:<pramood48in@test_mail.net>"),
+        ("server", "250 2.1.5 Ok"),
+        ("server", "354 End data with <CR><LF>.<CR><LF>"),
+        ("client", "DATA"),
+        ("server", "250 2.0.0 Ok: queued as 319A8641319"),
+        ("server", "221 2.0.0 Bye"),
+        ("client", "QUIT"),
+    ]
+
+    def test_get_dialect(self):
+        from spamscope_spark.functions.dialects import get_dialect
+
+        assert get_dialect(self.MESSAGES) == [
+            "EHLO ", "MAIL FROM:", "RCPT TO:", "DATA", "QUIT",
+        ]
+
+    def test_multiple_communications(self):
+        """mixed/duplicated client commands (same phrasings) yield the
+        identical dialect (test_dialect.py:54-85)."""
+        from spamscope_spark.functions.dialects import get_dialect
+
+        mixed = list(self.MESSAGES)
+        mixed.insert(6, ("client", "EHLO mixed.90.com"))
+        mixed.insert(9, ("client", "MAIL FROM:<test@vip.90.com>"))
+        mixed.insert(14, ("client", "RCPT TO:<mixed@test_mail.net>"))
+        mixed.append(("client", "DATA"))
+        mixed.append(("client", "QUIT"))
+        assert get_dialect(mixed) == get_dialect(self.MESSAGES)
+
+    def test_get_dialect_str_and_fingerprints(self):
+        import hashlib
+
+        from spamscope_spark.functions.dialects import (
+            get_dialect,
+            get_dialect_str,
+        )
+
+        s = get_dialect_str(get_dialect(self.MESSAGES))
+        assert s == "EHLO  MAIL FROM: RCPT TO: DATA QUIT"
+        # fingerprint of the canonical string is stable
+        assert hashlib.md5(s.encode()).hexdigest() == hashlib.md5(
+            "EHLO  MAIL FROM: RCPT TO: DATA QUIT".encode()
+        ).hexdigest()
+
+    def test_spark_agg_matches_py(self, spark):
+        """dialect_fingerprints on single-command rows reproduces the
+        pure-Python classification (AGENT rules)."""
+        from spamscope_spark.functions.dialects import (
+            AGENT_DIALECT_RULES,
+            dialect_fingerprints,
+            get_dialect,
+            get_dialect_str,
+        )
+
+        cmds = ["view_page", "click", "purchase", "error", "view_item", "noise"]
+        df = spark.createDataFrame(
+            [("u1", c) for c in cmds], "user_id string, cmd string"
+        )
+        row = dialect_fingerprints(df, "user_id", "cmd").collect()[0]
+        exp = get_dialect_str(
+            get_dialect([("client", c) for c in cmds], rules=AGENT_DIALECT_RULES)
+        )
+        assert row["dialect"] == exp
+        import hashlib
+
+        assert row["dialect_md5"] == hashlib.md5(exp.encode()).hexdigest()
