@@ -21,7 +21,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..datagen import SUBJECT_KEYS, TARGET_KEYS, generate_turns
+from ..datagen import SUBJECT_KEYS, TARGET_KEYS, WHITELIST_DOMAINS, generate_turns
 from ..functions import textstats
 from ..functions.keywords import matched_targets, search_words, sql_search_words
 from ..functions.urls import RE_URL, extract_url_strings
@@ -642,13 +642,23 @@ ORACLE_SQL["q_url_domains"] = f"""
 """
 
 
-def _sql_phishing_bits(text_expr: str) -> dict[str, str]:
+def _sql_phishing_bits(
+    text_expr: str, whitelist: list[str] | None = None
+) -> dict[str, str]:
     """DuckDB twins of the four turn-level phishing bits on a text-only
-    surface (tool/author surfaces are absent for documents)."""
+    surface (tool/author surfaces are absent for documents). `whitelist`
+    applies the 2nd-level-domain anti-filter (filter_whitelisted)."""
     urls = (
         f"list_sort(list_distinct(regexp_extract_all({text_expr}, "
         f"'{_SQL_RE_URL_DUCK}', 1)))"
     )
+    if whitelist:
+        quoted = ", ".join(f"'{_sq(d)}'" for d in whitelist)
+        dom = (
+            "regexp_extract(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#:]*)', 1)), "
+            "'([a-z0-9\\-]+\\.[a-z0-9\\-]+)$', 1)"
+        )
+        urls = f"list_filter({urls}, u -> {dom} NOT IN ({quoted}))"
     target_hit = " OR ".join(
         sql_search_words(text_expr, kws) for kws in sorted(TARGET_KEYS.values(), key=str)
     )
@@ -945,17 +955,87 @@ def q_media_features(spark, sf_dir):
 
 
 # ===========================================================================
-# Flagship: enriched transcript pipeline (generated turns; rows-only)
+# Flagship: enriched transcript pipeline (generated turns, materialized
+# to parquet so the DuckDB oracle reads the IDENTICAL input)
 # ===========================================================================
 
+_FLAGSHIP_TURNS_PATH = "/tmp/spamscope_oracle/turns_flagship_40x24"
 
-@query("q_turns_flagship")
+
+def _sql_flagship_query() -> str:
+    """DuckDB twin of enrich_turns → session_features → top-50: the
+    full turn-level bitmap score (6 live surfaces incl. role/tool),
+    first-seen dup flag, gap-based sessionization, per-session feature
+    vector."""
+    bits = _sql_phishing_bits("coalesce(text, '')", whitelist=WHITELIST_DOMAINS)
+    role_hit = " OR ".join(
+        sql_search_words("coalesce(role, '')", kws)
+        for kws in sorted(TARGET_KEYS.values(), key=str)
+    )
+    tool_hit = " OR ".join(
+        sql_search_words("coalesce(tool, '')", kws)
+        for kws in sorted(TARGET_KEYS.values(), key=str)
+    )
+    bit_exprs = {
+        "mail_body": f"(length(coalesce(text, '')) > 0 AND {bits['mail_body']})",
+        "urls_body": bits["urls_body"],
+        "filename_attachments": f"(length(coalesce(tool, '')) > 0 AND ({tool_hit}))",
+        "mail_from": f"(length(coalesce(role, '')) > 0 AND ({role_hit}))",
+        "mail_subject": bits["mail_subject"],
+        "mail_form": bits["mail_form"],
+    }
+    score = " + ".join(
+        f"(CASE WHEN {e} THEN {1 << PHISHING_BITMAP[n]} ELSE 0 END)"
+        for n, e in bit_exprs.items()
+    )
+    return f"""
+    WITH turns AS (SELECT * FROM read_parquet('{_FLAGSHIP_TURNS_PATH}/*.parquet')),
+    enr AS (
+        SELECT conv_id, turn_idx, role, tool, ts,
+            CAST({score} AS INTEGER) AS phishing_score,
+            (row_number() OVER (PARTITION BY coalesce(text, '')
+                ORDER BY ts, conv_id, turn_idx) > 1) AS is_filtered
+        FROM turns
+    ), flagged AS (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+        FROM enr WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+    ), sess AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY conv_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+            AS session_seq
+        FROM flagged
+    ), feats AS (
+        SELECT conv_id, session_seq,
+            conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+            MIN(ts) AS session_start, MAX(ts) AS session_end,
+            CAST(COUNT(*) AS BIGINT) AS n_turns,
+            CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+            CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+            CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+            CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+            CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+            MAX(phishing_score) AS max_phishing_score,
+            CAST(SUM(CASE WHEN is_filtered THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate_turns
+        FROM sess GROUP BY conv_id, session_seq
+    )
+    SELECT * FROM feats
+    ORDER BY max_phishing_score DESC, n_turns DESC, session_id ASC
+    LIMIT 50
+    """
+
+
+@query("q_turns_flagship", _sql_flagship_query())
 def q_turns_flagship(spark, sf_dir):
     """end-to-end batch form of the streaming pipeline: enrich (urls,
     keywords, bitmap score, fingerprints, dedup flag) → sessionize →
-    per-session feature vector → top sessions by phishing score."""
+    per-session feature vector → top sessions by phishing score. The
+    generated input is materialized to parquet so the DuckDB oracle
+    replays the identical rows (generation is deterministic)."""
     turns = generate_turns(spark, n_convs=40, turns_per_conv=24)
-    enriched = enrich_turns(turns)
+    turns.write.mode("overwrite").parquet(_FLAGSHIP_TURNS_PATH)
+    enriched = enrich_turns(spark.read.parquet(_FLAGSHIP_TURNS_PATH))
     sess = sessionize.session_features(enriched, gap_s=30 * 60)
     return sess.orderBy(
         F.col("max_phishing_score").desc(),
