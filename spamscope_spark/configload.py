@@ -55,6 +55,50 @@ def load_keywords_dict(sources: dict[str, str | dict]) -> dict[str, list[str]]:
     return {k: sorted(v) for k, v in out.items()}
 
 
+class HotReloadConfig:
+    """Per-microbatch config refresh — the tick-tuple hot-reload analog
+    (reference src/modules/abstracts.py:83-85, src/bolts/phishing.py:
+    77-80: keywords and whitelists are re-read from YAML on every tick
+    tuple, so a config edit changes scoring for subsequent tuples
+    without a restart).
+
+    Holds the SOURCE specs (file paths / inline values); `current()`
+    re-evaluates the loaders — re-reading files and re-applying
+    whitelist expiry — and is called once per microbatch inside
+    foreachBatch (streaming/pipeline.py:start_hot_enriched_query). The
+    per-batch cost is a few config-file reads on the driver; the fresh
+    dicts reach executors as literals folded into the batch's plan
+    (exactly how the reference broadcasts reloaded keywords to bolt
+    replicas)."""
+
+    def __init__(
+        self,
+        target_sources: dict[str, str | dict] | None = None,
+        subject_sources: dict[str, str | list] | None = None,
+        whitelist_sources: dict[str, dict] | None = None,
+    ):
+        self.target_sources = target_sources or {}
+        self.subject_sources = subject_sources or {}
+        self.whitelist_sources = whitelist_sources or {}
+
+    def current(
+        self, now: dt.datetime | None = None
+    ) -> tuple[dict[str, list[str]], list[str], list[str]]:
+        """(target_keys, subject_keys, whitelist) as of right now."""
+        targets = (
+            load_keywords_dict(self.target_sources) if self.target_sources else {}
+        )
+        subjects = (
+            load_keywords_list(self.subject_sources) if self.subject_sources else []
+        )
+        whitelist = sorted(
+            load_whitelist(self.whitelist_sources, now=now)
+            if self.whitelist_sources
+            else []
+        )
+        return targets, subjects, whitelist
+
+
 def load_whitelist(
     sources: dict[str, dict],
     now: dt.datetime | None = None,

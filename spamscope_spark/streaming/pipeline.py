@@ -61,6 +61,11 @@ class PipelineConfig:
     # turns — the Storm-topology dataflow (tokenizer bolt feeds the
     # downstream bolts exactly once, topologies/spamscope_debug.py:39-73).
     enriched_source: str | None = None
+    # Priority-ingestion approximation (SURVEY §7 risk 6): order each
+    # microbatch's sink output by (priority if present, ts, conv_id,
+    # turn_idx) — the reference spout's (priority, ctime) queue holds
+    # only within a microbatch here, never across batches.
+    priority_order: bool = False
     target_keys: dict = field(default_factory=lambda: dict(TARGET_KEYS))
     subject_keys: list = field(default_factory=lambda: list(SUBJECT_KEYS))
     whitelist: list = field(default_factory=lambda: list(WHITELIST_DOMAINS))
@@ -522,13 +527,60 @@ def start_enriched_query(
     spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
 ):
     """Primary output: enriched JSON-per-turn rows, exactly-once."""
-    sink = IdempotentSink(cfg.output("enriched"), keys=["conv_id", "turn_idx"])
     df = with_json_row(enriched_stream(spark, cfg))
+    order = None
+    if cfg.priority_order:
+        pri = ["priority"] if "priority" in df.columns else []
+        order = pri + ["ts", "conv_id", "turn_idx"]
+    sink = IdempotentSink(
+        cfg.output("enriched"), keys=["conv_id", "turn_idx"], order_by=order
+    )
     writer = (
         df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", cfg.checkpoint("enriched"))
         .outputMode("append")
         .queryName("enriched_turns")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def start_hot_enriched_query(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    config_source,
+    available_now: bool = True,
+):
+    """Enriched query with PER-MICROBATCH config hot-reload — the
+    reference reloads keyword/whitelist YAML on every tick tuple
+    (abstracts.py:83-85, phishing.py:77-80); here `config_source
+    .current()` (configload.HotReloadConfig) is re-evaluated inside
+    foreachBatch, so an edited keyword file or an expired whitelist
+    changes the scoring of the NEXT microbatch without restarting the
+    stream. Config-independent columns would stay in the streaming
+    plan; the keyword/whitelist-dependent enrichment is built fresh
+    per batch (plan construction per batch is driver-cheap; execution
+    is identical to the static query)."""
+    sink = IdempotentSink(cfg.output("enriched_hot"), keys=["conv_id", "turn_idx"])
+    turns = read_turns_stream(spark, cfg).withWatermark("ts", cfg.watermark)
+
+    def process(batch_df: DataFrame, epoch: int) -> None:
+        target_keys, subject_keys, whitelist = config_source.current()
+        enriched = enrich_turns(
+            batch_df,
+            target_keys=target_keys,
+            subject_keys=subject_keys,
+            whitelist=whitelist,
+            dedup_flag=False,  # keyed dedup state lives in the static query
+        )
+        sink.process_batch(with_json_row(enriched), epoch)
+
+    writer = (
+        turns.writeStream.foreachBatch(process)
+        .option("checkpointLocation", cfg.checkpoint("enriched_hot"))
+        .outputMode("append")
+        .queryName("enriched_hot")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -26,11 +26,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 
 class IdempotentSink:
-    """foreachBatch target writing epoch-atomic parquet with MERGE keys."""
+    """foreachBatch target writing epoch-atomic parquet with MERGE keys.
 
-    def __init__(self, path: str, keys: list[str]):
+    `order_by` sorts each epoch's rows before writing — the
+    PRIORITY-ORDERED INGESTION approximation (the reference spout's
+    (priority, ctime) queue, src/spouts/files_mails.py:96-104).
+    Structured Streaming has no priority queue across batches
+    (documented gap, SURVEY §7 risk 6): ordering holds WITHIN each
+    microbatch (range-partitioned sort → part files in ascending
+    lexical order), not across batches."""
+
+    def __init__(
+        self, path: str, keys: list[str], order_by: list[str] | None = None
+    ):
         self.path = path
         self.keys = keys
+        self.order_by = order_by
         self.data_dir = os.path.join(path, "data")
         self.manifest = os.path.join(path, "_manifest.jsonl")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -75,6 +86,8 @@ class IdempotentSink:
         for d in (staging, trash):
             if os.path.exists(d):
                 shutil.rmtree(d)
+        if self.order_by:
+            batch_df = batch_df.orderBy(*[F.col(c) for c in self.order_by])
         batch_df.write.mode("overwrite").parquet(staging)
         # row count for the manifest comes from the WRITTEN files'
         # parquet footers (zero-column scan) — counting batch_df first

@@ -330,3 +330,76 @@ class TestIcebergSinkPath:
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+class TestConfigHotReload:
+    def test_whitelist_change_between_microbatches(self, spark, tmp_path):
+        """The reference re-reads keyword/whitelist YAML every tick
+        tuple (abstracts.py:83-85); here editing the whitelist file
+        between microbatches must change the NEXT batch's scoring
+        without restarting the stream (urls_body bit = 1<<1)."""
+        import datetime as dt
+
+        from spamscope_spark.configload import HotReloadConfig
+        from spamscope_spark.datagen import SUBJECT_KEYS, TARGET_KEYS
+        from spamscope_spark.streaming.pipeline import start_hot_enriched_query
+
+        wl_file = tmp_path / "whitelist.yml"
+        wl_file.write_text("[]\n")
+        src = HotReloadConfig(
+            target_sources={"t": TARGET_KEYS},
+            subject_sources={"s": list(SUBJECT_KEYS)},
+            whitelist_sources={"w": {"path": str(wl_file)}},
+        )
+        in_dir = tmp_path / "in"
+        text = "see http://secure-hampton.info/payment for the payment"
+        ts = dt.datetime(2024, 3, 1, 0, 0, 0)
+        rows1 = [("c1", 0, "user", text, None, ts)]
+        rows2 = [("c1", 1, "user", text, None, ts + dt.timedelta(seconds=30))]
+        schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+        cfg = PipelineConfig(input_path=str(in_dir), work_dir=str(tmp_path / "wd"))
+        q, sink = start_hot_enriched_query(spark, cfg, src)
+        q.awaitTermination(300)
+
+        # batch 2: whitelist now covers the domain; new input file
+        wl_file.write_text("- secure-hampton.info\n")
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(in_dir))
+        q, sink = start_hot_enriched_query(spark, cfg, src)
+        q.awaitTermination(300)
+
+        scores = {
+            r["turn_idx"]: r["phishing_score"]
+            for r in sink.read_merged(spark).collect()
+        }
+        assert scores[0] & 2, scores  # urls_body bit set pre-change
+        assert not (scores[1] & 2), scores  # dropped by the reloaded whitelist
+        assert scores[0] & 1 and scores[1] & 1  # mail_body bit unaffected
+
+
+class TestPriorityIngestion:
+    def test_epoch_rows_ordered_within_batch(self, spark, cfg, tmp_path):
+        """priority_order=True approximates the spout's (priority,
+        ctime) queue: each epoch's parquet holds rows sorted by
+        (ts, conv_id, turn_idx); cross-batch ordering is the documented
+        gap (SURVEY §7 risk 6)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        cfg.priority_order = True
+        q, sink = start_enriched_query(spark, cfg)
+        q.awaitTermination(300)
+        epochs = sorted(glob.glob(os.path.join(sink.data_dir, "epoch=*")))
+        assert epochs
+        for ep in epochs:
+            rows = []
+            for f in sorted(glob.glob(os.path.join(ep, "part-*.parquet"))):
+                t = pq.read_table(f, columns=["ts", "conv_id", "turn_idx"])
+                rows.extend(zip(
+                    t.column("ts").to_pylist(),
+                    t.column("conv_id").to_pylist(),
+                    t.column("turn_idx").to_pylist(),
+                ))
+            assert rows == sorted(rows), ep
