@@ -102,6 +102,25 @@ def sql_cosine_topk(
     """
 
 
+def _dim_from_metadata(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality without a driver-side action: parquet
+    column metadata first (datagen stamps it), else a min/max-size
+    aggregate over the column (one cheap JVM scan, ragged input is an
+    error rather than a silently wrong hyperplane count)."""
+    field = emb.schema[vec_col]
+    md = field.metadata or {}
+    if "dim" in md:
+        return int(md["dim"])
+    row = emb.select(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"ragged {vec_col!r} sizes: {row['lo']}..{row['hi']}"
+        )
+    return int(row["hi"])
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
@@ -132,8 +151,7 @@ def ann_lsh_topk(
     equi-join on bucket (2^n_planes-way partitioned), so each query
     touches ~corpus/2^n_planes candidates instead of the full corpus."""
     if dim is None:
-        first = emb.select(F.size(vec_col)).first()
-        dim = int(first[0])
+        dim = _dim_from_metadata(emb, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     q = bucketed.where(F.col(id_col).isin(query_ids)).select(
@@ -165,11 +183,13 @@ def embedding_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ t, candidates restricted to
     same-LSH-bucket (all-pairs within bucket, never global)."""
-    first = emb.select(F.size(vec_col)).first()
-    planes = _hyperplanes(int(first[0]), n_planes, seed)
+    if dim is None:
+        dim = _dim_from_metadata(emb, vec_col)
+    planes = _hyperplanes(dim, n_planes, seed)
     bucketed = emb.select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
     ).withColumn("bucket", lsh_bucket(F.col("vec"), planes))

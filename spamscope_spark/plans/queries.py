@@ -457,12 +457,42 @@ def q_asof_join(spark, sf_dir):
     )
 
 
-@query("q_tool_response_join")  # non-SQL input (generated turns): rows-only check
+_TOOLJOIN_TURNS_PATH = "/tmp/spamscope_oracle/turns_tooljoin_60x24"
+
+_SQL_TOOL_RESPONSE_JOIN = f"""
+    WITH turns AS (SELECT * FROM read_parquet('{_TOOLJOIN_TURNS_PATH}/*.parquet')),
+    inv AS (
+        SELECT conv_id, tool, turn_idx, ts FROM turns
+        WHERE role = 'assistant' AND tool IS NOT NULL
+    ), resp AS (
+        SELECT conv_id AS r_cid, tool AS r_tool, turn_idx AS r_ti, ts AS r_ts
+        FROM turns WHERE role = 'tool' AND tool IS NOT NULL
+    ), j AS (
+        SELECT inv.conv_id, inv.turn_idx, inv.tool, r.r_ti, r.r_ts,
+            row_number() OVER (PARTITION BY inv.conv_id, inv.turn_idx
+                ORDER BY r.r_ts ASC NULLS LAST, r.r_ti ASC NULLS LAST) AS rn
+        FROM inv LEFT JOIN resp r
+          ON r.r_cid = inv.conv_id AND r.r_tool = inv.tool
+         AND r.r_ts > inv.ts
+         AND r.r_ts <= inv.ts + INTERVAL 600 SECONDS
+         AND r.r_ti > inv.turn_idx
+    )
+    SELECT conv_id, turn_idx, tool,
+           r_ti AS resp_turn_idx, r_ts AS resp_ts
+    FROM j WHERE rn = 1
+    """
+
+
+@query("q_tool_response_join", _SQL_TOOL_RESPONSE_JOIN)
 def q_tool_response_join(spark, sf_dir):
     """tool-invocation ⋈ tool-response correlation on the transcript
-    table (the dialect analog), batch form."""
+    table (the dialect analog), batch form. Input materialized to
+    parquet so the oracle replays identical rows."""
     turns = generate_turns(spark, n_convs=60, turns_per_conv=24)
-    j = joins.tool_response_join(turns, band_s=600)
+    turns.write.mode("overwrite").parquet(_TOOLJOIN_TURNS_PATH)
+    j = joins.tool_response_join(
+        spark.read.parquet(_TOOLJOIN_TURNS_PATH), band_s=600
+    )
     return j.select(
         "conv_id", "turn_idx", "tool", "resp_turn_idx", "resp_ts"
     )
@@ -786,6 +816,33 @@ def q_dialect_fingerprint(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return dialect_fingerprints(e, "user_id", "event_type").select(
         "user_id", "dialect", "dialect_md5", "dialect_sha256"
+    )
+
+
+_CUSTOM_SPEC = {
+    "source_tag": "upper(source)",
+    "head": "substr(coalesce(text, ''), 1, 12)",
+    "kchars": "cast(floor(n_chars / 1000) as int)",
+}
+
+
+def _sql_custom_projection() -> str:
+    from ..operators.projection import sql_custom_columns
+
+    return f"SELECT doc_id, {sql_custom_columns(_CUSTOM_SPEC)} FROM documents"
+
+
+@query("q_custom_projection", _sql_custom_projection())
+def q_custom_projection(spark, sf_dir):
+    """config-driven custom_* column projection (per-mailbox custom
+    headers, tokenizer.py:142-144): name → SQL expression from config,
+    applied as a narrow JVM projection."""
+    from ..operators.projection import with_custom_columns
+
+    d = _t(spark, sf_dir, "documents")
+    out = with_custom_columns(d, _CUSTOM_SPEC)
+    return out.select(
+        "doc_id", "custom_head", "custom_kchars", "custom_source_tag"
     )
 
 

@@ -546,6 +546,27 @@ def start_enriched_query(
     return writer.start(), sink
 
 
+def start_queue_query(
+    spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
+):
+    """OutputRedis-analog sink: enriched rows RPUSH'd (epoch-atomic
+    JSONL segments) to the turns queue, tool invocations promoted to
+    the tool_calls queue (streaming/queue_sink.py)."""
+    from .queue_sink import QueueSink
+
+    sink = QueueSink(cfg.output("queues"))
+    df = enriched_stream(spark, cfg, dedup_flag=False)
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cfg.checkpoint("queues"))
+        .outputMode("append")
+        .queryName("queue_sink")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
 def start_hot_enriched_query(
     spark: SparkSession,
     cfg: PipelineConfig,

@@ -403,3 +403,30 @@ class TestPriorityIngestion:
                     t.column("turn_idx").to_pylist(),
                 ))
             assert rows == sorted(rows), ep
+
+
+class TestQueueSink:
+    def test_split_and_exactly_once(self, spark, cfg):
+        """OutputRedis analog: turns queue carries every enriched row
+        as a JSON string; tool invocations are promoted to tool_calls
+        with parent keys (the mail/attachment split); a replayed run
+        adds nothing."""
+        import json as _json
+
+        from spamscope_spark.streaming.pipeline import start_queue_query
+
+        q, sink = start_queue_query(spark, cfg)
+        q.awaitTermination(300)
+        turns_q = sink.read_queue(spark, "turns")
+        calls_q = sink.read_queue(spark, "tool_calls")
+        n_turns, n_calls = turns_q.count(), calls_q.count()
+        src = spark.read.parquet(cfg.input_path)
+        assert n_turns == src.count()
+        assert n_calls == src.where(F.col("tool").isNotNull()).count()
+        rec = _json.loads(calls_q.select("value").first()["value"])
+        assert {"parent_conv_id", "parent_turn_idx", "tool", "ts", "role"} <= set(rec)
+        # replay with same checkpoint: no new entries
+        q2, sink2 = start_queue_query(spark, cfg)
+        q2.awaitTermination(300)
+        assert sink2.read_queue(spark, "turns").count() == n_turns
+        assert sink2.read_queue(spark, "tool_calls").count() == n_calls
