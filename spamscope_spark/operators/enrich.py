@@ -59,7 +59,9 @@ def enrich_turns(
 
     if dedup_flag:
         out = with_dedup_flag(out)
-    else:
+    elif "is_filtered" not in out.columns:
+        # an upstream stateful dedup (streaming) may have set the flag
+        # already — never clobber it
         out = out.withColumn("is_filtered", F.lit(False))
     return out
 

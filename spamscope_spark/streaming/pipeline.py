@@ -135,12 +135,29 @@ def _session_input(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
 def enriched_stream(
     spark: SparkSession, cfg: PipelineConfig, dedup_flag: bool = True
 ) -> DataFrame:
-    """Enrichment + watermark (+ stateful dedup flag) + lineage columns.
+    """Stateful dedup flag FIRST (on the narrow raw turn), then
+    enrichment + lineage columns.
+
+    Flag-before-enrich is both the reference's dataflow (the tokenizer
+    flags duplicates so downstream bolts skip work, tokenizer.py:
+    176-196) and the scale-critical ordering: applyInPandasWithState
+    Arrow-serializes every byte of its input JVM→Python→JVM, so the
+    state op must see the ~200-byte raw turn + sha1, not the ~1.5 KB
+    enriched row (hashes, URL structs, json) — r2 profiling showed the
+    wide-row round-trip dominating the enriched stage's memory traffic.
+    The narrow map enrichment then runs downstream of the state op.
 
     dedup_flag=False for consumers that add their own stateful operator
     (Structured Streaming does not support chaining two
     applyInPandasWithState ops in one query)."""
     turns = read_turns_stream(spark, cfg)
+    turns = turns.withColumn(
+        "sha1", F.sha1(F.coalesce(F.col("text"), F.lit("")))
+    ).withWatermark("ts", cfg.watermark)
+    if dedup_flag:
+        turns = flag_duplicates(
+            turns, key="sha1", state_timeout_ms=cfg.dedup_state_timeout_ms
+        )
     enriched = enrich_turns(
         turns,
         target_keys=cfg.target_keys,
@@ -148,11 +165,6 @@ def enriched_stream(
         whitelist=cfg.whitelist,
         dedup_flag=False,  # batch window-rank is illegal on streams
     )
-    enriched = enriched.withWatermark("ts", cfg.watermark)
-    if dedup_flag:
-        enriched = flag_duplicates(
-            enriched, key="sha1", state_timeout_ms=cfg.dedup_state_timeout_ms
-        )
     return enriched.withColumn("_lineage_partition", F.spark_partition_id())
 
 

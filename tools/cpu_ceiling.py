@@ -40,11 +40,12 @@ def measure(procs: int) -> int:
 
 
 def main() -> None:
-    totals = {p: measure(p) for p in (1, 2, 8, 32)}
+    totals = {p: measure(p) for p in (1, 2, 4, 8, 32)}
     print(
         json.dumps(
             {
                 "hashes_per_6s": totals,
+                "hw_efficiency_1_to_4": round(totals[4] / totals[1] / 4.0, 3),
                 "hw_efficiency_2_to_8": round(totals[8] / totals[2] / 4.0, 3),
                 "hw_efficiency_8_to_32": round(totals[32] / totals[8] / 4.0, 3),
             }
