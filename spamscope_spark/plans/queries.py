@@ -846,6 +846,58 @@ def q_custom_projection(spark, sf_dir):
     )
 
 
+# Dialect rules matching the derived-text vocabulary (the raw corpus has
+# none of the agent-command words).
+_POST_RULES = [
+    (r"(?:payment|bonifico)\w*", 0),
+    (r"(?:urgent|confirm)\w*", 1),
+    (r"(?:gmail|google)\s*", 2),
+]
+
+
+def _sql_post_chain() -> str:
+    from ..functions.rulescore import sql_rule_score_columns
+    from ..operators.postprocess import sql_dialect_row, sql_intel_feed
+
+    sa = sql_rule_score_columns("t2")
+    dia = sql_dialect_row("t2", _POST_RULES)
+    return f"""
+    WITH d AS (SELECT doc_id, source, {SQL_DERIVED_TEXT} AS t2 FROM documents)
+    SELECT doc_id, {sa['sa_score']} AS sa_score, {sa['n_rules']} AS n_rules,
+           {dia['dialect_pri']} AS dialect_pri,
+           {dia['dialect_form']} AS dialect_form,
+           reputation, intel_category
+    FROM d LEFT JOIN {sql_intel_feed()} USING (source)
+    """
+
+
+@query("q_post_chain", _sql_post_chain())
+def q_post_chain(spark, sf_dir):
+    """post-processor plugin chain (utils.py:375-397 registry;
+    mails/networks/attachments post_processing): spamassassin rule
+    scorer + per-row dialect classification + broadcast intel-feed
+    enrichment, composed in priority order into one codegen projection
+    plus one broadcast left join."""
+    from ..operators.postprocess import apply_postprocessors, intel_feed_df
+
+    d = _t(spark, sf_dir, "documents").withColumn("t2", derived_text())
+    conf = {
+        "spamassassin": {"enabled": True, "text_col": "t2"},
+        "dialect": {"enabled": True, "text_col": "t2", "rules": _POST_RULES},
+        "intel": {"enabled": True, "feed": intel_feed_df(spark), "key": "source"},
+    }
+    out = apply_postprocessors(d, conf)
+    return out.select(
+        "doc_id",
+        "sa_score",
+        F.size("sa_details").alias("n_rules"),
+        "dialect_pri",
+        "dialect_form",
+        "reputation",
+        "intel_category",
+    )
+
+
 _TEXT_SQL = "coalesce(text, '')"
 
 
