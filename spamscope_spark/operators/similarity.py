@@ -142,20 +142,44 @@ def ann_lsh_topk(
     n_planes: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact ranking *within* the query's LSH bucket.
+    """Approximate top-k: exact ranking within the query's probed LSH
+    buckets.
 
     At scale: bucket assignment is a narrow map; the join is an
     equi-join on bucket (2^n_planes-way partitioned), so each query
-    touches ~corpus/2^n_planes candidates instead of the full corpus."""
+    touches ~n_probe × corpus/2^n_planes candidates instead of the full
+    corpus. `n_probe > 1` is multi-probe LSH: the query additionally
+    probes the buckets at Hamming distance 1 (one flipped hyperplane
+    sign — the most-likely boundary misses), trading candidate volume
+    for recall WITHOUT more tables/planes; the cost stays on the tiny
+    broadcast query side."""
     if dim is None:
         dim = _dim_from_metadata(emb, vec_col)
+    n_probe = max(1, min(n_probe, n_planes + 1))
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    probes = F.slice(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        bucketed.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(probes).alias("bucket"),
+        )
     )
     c = bucketed.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "bucket"
@@ -164,6 +188,8 @@ def ann_lsh_topk(
         F.broadcast(q)
         .join(c, on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        # one candidate per (query, neighbor) even if multiple probes hit
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -184,21 +210,224 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_tables: int = 1,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ t, candidates restricted to
-    same-LSH-bucket (all-pairs within bucket, never global)."""
+    same-LSH-bucket (all-pairs within bucket, never global).
+
+    The 100 TB shape is BANDED MULTI-TABLE: `n_tables` independent
+    hyperplane sets (seeds seed, seed+1000, …), a pair is a candidate
+    if it collides in ANY table (recall compounds per table: miss
+    probability p^L instead of p), and candidates are deduped on
+    (id_a, id_b) before the cosine so each pair is scored once.
+    `bucket_cap` drops (table, bucket) keys holding more than cap
+    vectors — a degenerate bucket (e.g. the all-zeros region) otherwise
+    goes quadratic; the drop is explicit, never silent: inspect
+    `neardup_dropped_buckets` for what was excluded."""
     if dim is None:
         dim = _dim_from_metadata(emb, vec_col)
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucketed = emb.select(
-        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), planes))
-    a = bucketed.select(F.col("doc").alias("id_a"), F.col("vec").alias("va"), "bucket")
-    b = bucketed.select(F.col("doc").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col("vec"), planes).alias("bkt"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    bucketed = (
+        emb.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
+        .select("doc", "vec", F.explode(keys).alias("tb"))
+        .select("doc", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    )
+    if bucket_cap is not None:
+        # bucket-size relation is tiny (≤ n_tables × 2^n_planes rows):
+        # broadcast anti-join strips the oversized keys
+        oversized = (
+            bucketed.groupBy("tbl", "bkt")
+            .count()
+            .where(F.col("count") > bucket_cap)
+            .select("tbl", "bkt")
+        )
+        bucketed = bucketed.join(
+            F.broadcast(oversized), on=["tbl", "bkt"], how="left_anti"
+        )
+    a = bucketed.select(
+        F.col("doc").alias("id_a"), F.col("vec").alias("va"), "tbl", "bkt"
+    )
+    b = bucketed.select(
+        F.col("doc").alias("id_b"), F.col("vec").alias("vb"), "tbl", "bkt"
+    )
     return (
-        a.join(b, on="bucket")
+        a.join(b, on=["tbl", "bkt"])
         .where(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several tables is still one candidate
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def neardup_dropped_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_tables: int = 1,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """The (tbl, bkt, count) keys embedding_neardup_pairs would exclude
+    at this cap — the no-silent-caps audit twin."""
+    if dim is None:
+        dim = _dim_from_metadata(emb, vec_col)
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(vec_col), planes).alias("bkt"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    return (
+        emb.select(F.explode(keys).alias("tb"))
+        .groupBy(F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+        .count()
+        .where(F.col("count") > bucket_cap)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the centroid-partitioned ANN scale path.
+# ---------------------------------------------------------------------------
+
+
+def _sq_l2(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_lists(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the n nearest centroid ids (JVM-side argmin: array of
+    (dist, idx) structs, array_sort orders by field order, slice+map)."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_l2(vec, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(pairs), 1, n), lambda s: s["i"])
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_list: int = 16,
+    n_iter: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means on the corpus, driver-side only for the MODEL
+    (n_list × dim floats — bytes, not data). Seeds are a deterministic
+    hash-ordered sample; each iteration is one distributed pass:
+    assign (narrow argmin map) → per-(cluster, position) mean (one
+    shuffle of dim values per row, count bounded by n_list × dim rows
+    out). At 100 TB you train on a sample; the assignment pass is the
+    same either way."""
+    seeds = (
+        emb.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_list)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in seeds]
+    for _ in range(n_iter):
+        # two selects: a generator (posexplode) sharing a select with a
+        # lambda-built struct strips the struct's field names in Spark 4
+        assigned = emb.select(
+            _nearest_lists(F.col(vec_col), centroids, 1)[0].alias("cl"),
+            F.col(vec_col).alias("v"),
+        ).select("cl", F.posexplode("v").alias("pos", "e"))
+        means = (
+            assigned.groupBy("cl", "pos")
+            .agg(F.avg(F.col("e").cast("double")).alias("m"))
+            .groupBy("cl")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .select("cl", F.transform("ms", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        new = dict((r["cl"], list(r["mean"])) for r in means)
+        # empty clusters keep their previous centroid
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_list: int = 16,
+    n_probe: int = 2,
+    n_iter: int = 2,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into n_list inverted
+    lists by nearest centroid; each query exactly ranks only the
+    vectors in its n_probe nearest lists (~n_probe/n_list of the
+    corpus). Same equi-join shape as the LSH path — assignment is a
+    narrow map, candidates co-locate by list id — but the partitions
+    follow the DATA's density rather than random hyperplanes, so probe
+    quality is typically better per candidate scanned."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, n_list=n_list, n_iter=n_iter, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    n_probe = max(1, min(n_probe, len(centroids)))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _nearest_lists(F.col(vec_col), centroids, 1)[0].alias("list_id"),
+    )
+    q = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _nearest_lists(F.col(vec_col), centroids, n_probe).alias("ls"),
+        )
+        .select("query_id", "qvec", F.explode("ls").alias("list_id"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )

@@ -1024,9 +1024,22 @@ def q_cosine_topk(spark, sf_dir):
 
 @query("q_ann_lsh")  # approximate by design: rows-only check; recall tested in pytest
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (the 100TB-scale path)."""
+    """LSH-bucketed approximate top-k with multi-probe (the 100TB-scale
+    path): each query probes its own bucket plus the nearest
+    Hamming-distance-1 buckets."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, _QUERY_IDS, k=5, n_planes=4)
+    return similarity.ann_lsh_topk(emb, _QUERY_IDS, k=5, n_planes=4, n_probe=3)
+
+
+@query("q_ann_ivf")  # approximate by design: rows-only check
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k: k-means inverted lists (deterministic
+    seeded Lloyd), queries exactly rank only their n_probe nearest
+    lists — the density-following counterpart to the LSH path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _QUERY_IDS, k=5, n_list=8, n_probe=2, n_iter=2
+    )
 
 
 @query("q_embedding_neardup")  # approximate by design: rows-only check
@@ -1034,9 +1047,12 @@ def q_embedding_neardup(spark, sf_dir):
     """embedding-cosine near-dup pairs within LSH buckets, over the raw
     corpus (which may legitimately contain none at small sf — recall on
     planted scaled copies is asserted in pytest, where the planting
-    belongs, not in the shipped operator)."""
+    belongs, not in the shipped operator). Banded two-table candidates
+    with a bucket cap — the 100TB shape."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.9, n_planes=4)
+    return similarity.embedding_neardup_pairs(
+        emb, threshold=0.9, n_planes=4, n_tables=2, bucket_cap=100_000
+    )
 
 
 # ===========================================================================

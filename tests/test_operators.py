@@ -304,6 +304,82 @@ class TestSimilarity:
         out = similarity.embedding_neardup_pairs(emb, threshold=0.95, n_planes=2).collect()
         assert {(r["id_a"], r["id_b"]) for r in out} >= {(0, 1)}
 
+    def test_multiprobe_recall_dominates_single_probe(self, spark, emb):
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(emb, list(range(10)), k=3).collect()
+        }
+
+        def recall(n_probe):
+            approx = {
+                (r["query_id"], r["neighbor_id"])
+                for r in similarity.ann_lsh_topk(
+                    emb, list(range(10)), k=3, n_planes=4, n_probe=n_probe
+                ).collect()
+            }
+            return len(exact & approx) / len(exact)
+
+        r1, r5 = recall(1), recall(5)
+        assert r5 >= r1  # extra probes can only add candidates
+        assert r5 >= max(r1, 0.3)  # 16 buckets on 60 vecs is coarse
+
+    def test_multi_table_candidates_superset_and_deduped(self, spark, emb):
+        one = similarity.embedding_neardup_pairs(
+            emb, threshold=0.9, n_planes=4, n_tables=1
+        ).collect()
+        three = similarity.embedding_neardup_pairs(
+            emb, threshold=0.9, n_planes=4, n_tables=3
+        ).collect()
+        p1 = {(r["id_a"], r["id_b"]) for r in one}
+        p3 = [(r["id_a"], r["id_b"]) for r in three]
+        assert set(p3) >= p1  # any-table collision ⊇ table-0 collision
+        assert len(p3) == len(set(p3))  # cross-table dedup: each pair once
+
+    def test_bucket_cap_drops_degenerate_bucket(self, spark, emb):
+        # 40 copies of one vector — without a cap, that bucket alone
+        # yields C(41,2)=820 pairs; cap 20 must drop the bucket and
+        # report it via the audit twin
+        import numpy as np
+
+        base = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        clones = spark.createDataFrame(
+            [(1000 + i, list(base)) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        crowded = emb.unionByName(clones)
+        capped = similarity.embedding_neardup_pairs(
+            crowded, threshold=0.99, n_planes=2, bucket_cap=20
+        ).collect()
+        clone_pairs = [
+            r for r in capped if r["id_a"] >= 1000 and r["id_b"] >= 1000
+        ]
+        assert clone_pairs == []  # the degenerate bucket was excluded
+        dropped = similarity.neardup_dropped_buckets(
+            crowded, n_planes=2, bucket_cap=20
+        ).collect()
+        assert len(dropped) >= 1 and all(r["count"] > 20 for r in dropped)
+
+    def test_ivf_recall_and_planted_pair(self, spark, emb):
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(emb, list(range(10)), k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb, list(range(10)), k=3, n_list=4, n_probe=2, n_iter=2
+            ).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.6
+        # the planted near-copy (vec 1 ≈ vec 0) must rank first for query 0
+        out = similarity.ivf_topk(emb, [0], k=1, n_list=4, n_probe=2).collect()
+        assert out and out[0]["neighbor_id"] == 1
+
+    def test_ivf_centroids_deterministic(self, spark, emb):
+        c1 = similarity.train_ivf_centroids(emb, n_list=4, n_iter=1, seed=9)
+        c2 = similarity.train_ivf_centroids(emb, n_list=4, n_iter=1, seed=9)
+        assert c1 == c2 and len(c1) == 4 and len(c1[0]) == 16
+
 
 class TestMultimodal:
     def test_decode_stub_contract(self):
