@@ -98,3 +98,41 @@ class QueueSink:
             spark.read.option("basePath", os.path.join(self.path, queue))
             .text(os.path.join(self.path, queue, "epoch=*"))
         )
+
+
+TOOL_CALLS_SCHEMA = (
+    "parent_conv_id string, parent_turn_idx int, tool string, "
+    "ts timestamp, role string"
+)
+
+
+def read_queue_stream(
+    spark: SparkSession,
+    path: str,
+    queue: str,
+    schema: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Queue CONSUMER — the RabbitMQ client analog
+    (src/modules/rabbitmq_client.py:44-160: connect, basic_qos prefetch,
+    consume JSON messages, ack).
+
+    Engine recast: a file-source stream over the queue's committed
+    epoch segments. The broker handshake is subsumed by the directory
+    protocol — segments become visible ONLY via QueueSink's atomic
+    rename, so discovery never sees a half-written epoch; offsets in
+    the consumer's checkpoint are the acks (a restart resumes exactly
+    after the last committed batch, replacing channel redelivery);
+    `max_files_per_trigger` is the basic_qos prefetch bound. With a
+    `schema`, messages are parsed from JSON into columns (the client's
+    json.loads); corrupt records become null columns rather than
+    killing the consumer, matching the client's log-and-continue."""
+    raw = spark.readStream
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    out = raw.text(os.path.join(path, queue, "epoch=*"))
+    if schema is None:
+        return out
+    return out.select(
+        F.from_json(F.col("value"), schema).alias("msg")
+    ).select("msg.*")

@@ -430,3 +430,48 @@ class TestQueueSink:
         q2.awaitTermination(300)
         assert sink2.read_queue(spark, "turns").count() == n_turns
         assert sink2.read_queue(spark, "tool_calls").count() == n_calls
+
+    def test_consumer_stream_round_trip(self, spark, cfg, tmp_path):
+        """RabbitMQ-client analog: a consumer STREAM over the committed
+        queue segments parses every produced message (JSON → columns),
+        and its checkpoint acts as the ack — a second run with the same
+        checkpoint consumes nothing new."""
+        from spamscope_spark.streaming.pipeline import start_queue_query
+        from spamscope_spark.streaming.queue_sink import (
+            TOOL_CALLS_SCHEMA,
+            read_queue_stream,
+        )
+
+        q, sink = start_queue_query(spark, cfg)
+        q.awaitTermination(300)
+
+        out_dir = str(tmp_path / "consumed")
+        ckpt = str(tmp_path / "consumer_ckpt")
+        consumer = read_queue_stream(
+            spark, sink.path, "tool_calls",
+            schema=TOOL_CALLS_SCHEMA, max_files_per_trigger=2,
+        )
+        (consumer.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination(300))
+
+        got = spark.read.parquet(out_dir)
+        src = spark.read.parquet(cfg.input_path).where(F.col("tool").isNotNull())
+        assert got.count() == src.count()
+        # parsed columns, not raw strings — and keys round-trip exactly
+        want = {
+            (r["conv_id"], r["turn_idx"], r["tool"])
+            for r in src.select("conv_id", "turn_idx", "tool").collect()
+        }
+        have = {
+            (r["parent_conv_id"], r["parent_turn_idx"], r["tool"])
+            for r in got.collect()
+        }
+        assert have == want
+
+        # ack semantics: same checkpoint, nothing redelivered
+        (read_queue_stream(spark, sink.path, "tool_calls", schema=TOOL_CALLS_SCHEMA)
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination(300))
+        assert spark.read.parquet(out_dir).count() == src.count()
