@@ -57,7 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle for every SQL-expressible query. Keys missing here
-    (q_ann_lsh, q_embedding_neardup, q_shingle_signatures,
+    (q_ann_lsh, q_ann_ivf, q_embedding_neardup, q_shingle_signatures,
     q_approx_distinct) are approximate operators → rows-only check;
     their exactness/tolerance is covered by tests/."""
     return dict(q.ORACLE_SQL)

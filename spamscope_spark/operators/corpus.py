@@ -1,0 +1,356 @@
+"""Corpus-lifecycle operators for large-scale training-data pipelines:
+near-dup CLUSTER assignment (connected components over pair output),
+PII-style redaction, token-budget shard packing, benchmark
+decontamination, and per-stratum deterministic sampling.
+
+These close the loop the pairwise dedup suite (operators/dedup.py)
+opens: LSH/Jaccard emit *pairs*, but an actual dedup pass needs each
+document mapped to a canonical cluster representative — transitively
+(A~B, B~C ⇒ {A,B,C} one cluster even if A≁C directly).
+
+Scale notes (100 TB):
+- connected components is iterative min-label propagation with pointer
+  doubling — O(log diameter) joins, each a plain shuffle on node id;
+  lineage is truncated per iteration (localCheckpoint) so the plan does
+  not grow with iterations. Near-dup graphs have small components, but
+  convergence is checked, not assumed.
+- shard packing partitions by `source` so the running token cumsum is a
+  per-group window, never a single global ordering (a global ORDER BY
+  cumsum would serialize on one task at 100 TB).
+- decontamination broadcasts the (small) benchmark shingle set; the
+  corpus side stays partition-local until the final per-doc groupBy.
+- redaction / sampling are pure column expressions (whole-stage
+  codegen; regexes are shared Java/RE2-safe subset so the DuckDB twin
+  is exact).
+
+Reference parity: the reference dedups by exact fuzzy-hash equality on
+a bounded LRU (src/bolts/tokenizer.py:176-196) — flag semantics live in
+streaming/dedup_state.py; these are the corpus-level batch forms a
+training pipeline runs over the accumulated store.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# ---------------------------------------------------------------------------
+# connected components: pairs -> clusters
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in `pairs`, where
+    cluster_id = MIN node id of its connected component.
+
+    Min-label propagation with pointer doubling: each round every node
+    takes the min of its own label, its neighbors' labels, AND its
+    label's label — path lengths halve every round, so convergence is
+    O(log diameter) shuffles instead of O(diameter). Each round is two
+    hash joins + one groupBy on node id; `localCheckpoint` truncates
+    lineage so round k's plan doesn't embed rounds 1..k-1.
+
+    Deterministic and exact: iterates until a round changes nothing
+    (driver-side count — a scalar action, not a collect of data).
+    Raises if max_iter rounds don't converge rather than returning a
+    partial clustering silently."""
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nbl")
+                ),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbl").alias("nbr_label"))
+            .withColumnRenamed("a", "node")
+        )
+        # pointer doubling: my label's current label
+        hop = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("hop_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .join(hop, on="label", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("hop_label"), F.col("label")),
+                ).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.drop("old_label")
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
+
+
+def sql_dup_clusters(pairs_sql: str, src: str = "id_a", dst: str = "id_b") -> str:
+    """DuckDB twin: recursive transitive closure (fine at oracle scale;
+    the Spark side is the log-rounds form that survives 100 TB)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT {src} AS a, {dst} AS b FROM pairs
+        UNION
+        SELECT {dst} AS a, {src} AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction
+# ---------------------------------------------------------------------------
+
+# Shared Java-regex / RE2 subset: no lookaround, no backreferences.
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+RE_LONGNUM = r"\b[0-9][0-9 -]{6,}[0-9]\b"
+
+_REDACTIONS = [
+    ("email", RE_EMAIL, "<EMAIL>"),
+    ("ip", RE_IPV4, "<IP>"),
+    ("num", RE_LONGNUM, "<NUM>"),
+]
+
+
+def redact_text(text: Column) -> Column:
+    """Text with emails / IPv4s / long number runs masked — the
+    standard pre-training scrub. Chain of JVM regexp_replace (global),
+    whole-stage codegen, no Python."""
+    out = F.coalesce(text, F.lit(""))
+    for _, pat, repl in _REDACTIONS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One `n_<kind>` count column per redaction kind (pre-masking)."""
+    t = F.coalesce(text, F.lit(""))
+    return [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
+        for kind, pat, _ in _REDACTIONS
+    ]
+
+
+def sql_redact_text(text_expr: str) -> str:
+    out = f"coalesce({text_expr}, '')"
+    for _, pat, repl in _REDACTIONS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def sql_pii_counts(text_expr: str) -> list[str]:
+    t = f"coalesce({text_expr}, '')"
+    return [
+        f"CAST(len(regexp_extract_all({t}, '{pat}')) AS INT) AS n_{kind}"
+        for kind, pat, _ in _REDACTIONS
+    ]
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard packing
+# ---------------------------------------------------------------------------
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign each document to a training shard: within each
+    `group_col` stratum (ordered by id), shards are cut greedily at a
+    running whitespace-token budget — shard_id = floor(cumsum-before /
+    budget). Deterministic, reproducible across partitionings.
+
+    Scale: the window partitions by `group_col`, so the cumsum is
+    per-stratum parallel work — never a global ORDER BY (which would
+    funnel 100 TB through one task). Strata (sources) are the natural
+    packing unit in real pipelines anyway (mixture weights are set per
+    source)."""
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(toks).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        toks.alias("n_tokens"),
+        F.floor((cum - toks) / F.lit(budget)).alias("shard_idx"),
+        F.concat_ws(
+            "/", F.col(group_col), F.floor((cum - toks) / F.lit(budget))
+        ).alias("shard_id"),
+    )
+
+
+def sql_pack_shards(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    budget: int = 2048,
+) -> str:
+    toks = (
+        f"CAST(len(string_split_regex(trim(coalesce({text_col}, '')),"
+        f" '\\s+')) AS BIGINT)"
+    )
+    return f"""
+    WITH t AS (
+        SELECT {id_col}, {group_col}, {toks} AS n_tokens FROM {table}
+    )
+    SELECT {id_col}, {group_col}, n_tokens,
+        CAST(floor((SUM(n_tokens) OVER (PARTITION BY {group_col} ORDER BY {id_col}
+             ROWS UNBOUNDED PRECEDING) - n_tokens) / {budget}) AS BIGINT) AS shard_idx,
+        {group_col} || '/' || CAST(
+        CAST(floor((SUM(n_tokens) OVER (PARTITION BY {group_col} ORDER BY {id_col}
+             ROWS UNBOUNDED PRECEDING) - n_tokens) / {budget}) AS BIGINT) AS VARCHAR) AS shard_id
+    FROM t
+    """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+) -> DataFrame:
+    """Training docs sharing ≥1 word n-gram with any benchmark doc —
+    the pre-training eval-leakage filter. Returns (doc_id, bench_id,
+    n_shared) per contaminated pair.
+
+    Shape: benchmark shingles are the SMALL side → broadcast hash join
+    against the exploded corpus shingles; the corpus never self-joins
+    and never shuffles on anything longer than the shingle string."""
+    from .dedup import word_shingles
+
+    c = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    b = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).distinct()
+    return (
+        c.join(F.broadcast(b), on="shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def sql_decontaminate(
+    corpus_sql: str,
+    benchmark_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+) -> str:
+    from .dedup import sql_word_shingles
+
+    sh = sql_word_shingles(text_col, n)
+    return f"""
+    WITH c AS (
+        SELECT {id_col}, unnest({sh}) AS shingle FROM ({corpus_sql})
+    ), b AS (
+        SELECT DISTINCT {bench_id_col}, unnest({sh}) AS shingle
+        FROM ({benchmark_sql})
+    )
+    SELECT c.{id_col}, b.{bench_id_col}, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM c JOIN b USING (shingle)
+    GROUP BY c.{id_col}, b.{bench_id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-stratum deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def _hex_threshold(rate: float) -> str:
+    """8-hex-digit threshold: an md5 prefix is uniform on [0, 2^32), and
+    lowercase-hex lexicographic order == numeric order, so
+    `md5_prefix < format(rate * 2^32, '08x')` keeps ~rate of rows —
+    portable to any engine with md5 + string compare, no hex→int cast.
+    rate >= 1.0 uses 'g' (sorts above every hex digit → keep all)."""
+    v = int(round(max(0.0, rate) * (1 << 32)))
+    return "g" if v >= (1 << 32) else format(v, "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, decided by a deterministic
+    hash of the id (md5 8-hex-digit prefix vs a per-stratum threshold)
+    — the mixture-weighting downsample of a training pipeline.
+    Reproducible across engines, partitionings, and reruns (unlike
+    rand()); strata not in `rates` fall back to default_rate. Pure
+    column expression (whole-stage codegen)."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thr = F.lit(_hex_threshold(default_rate))
+    for k in sorted(rates):
+        thr = F.when(
+            F.col(stratum_col) == k, F.lit(_hex_threshold(rates[k]))
+        ).otherwise(thr)
+    return df.where(h < thr)
+
+
+def sql_stratified_sample_pred(
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    default_rate: float = 0.0,
+) -> str:
+    h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)"
+    thr = f"'{_hex_threshold(default_rate)}'"
+    for k in sorted(rates):
+        thr = (
+            f"(CASE WHEN {stratum_col} = '{k}' THEN '{_hex_threshold(rates[k])}'"
+            f" ELSE {thr} END)"
+        )
+    return f"{h} < {thr}"

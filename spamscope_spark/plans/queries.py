@@ -25,7 +25,7 @@ from ..datagen import SUBJECT_KEYS, TARGET_KEYS, WHITELIST_DOMAINS, generate_tur
 from ..functions import textstats
 from ..functions.keywords import matched_targets, search_words, sql_search_words
 from ..functions.urls import RE_URL, extract_url_strings
-from ..operators import dedup, joins, sessionize, similarity, skew
+from ..operators import corpus, dedup, joins, sessionize, similarity, skew
 from ..operators.enrich import enrich_turns
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..oracle import PHISHING_BITMAP
@@ -1796,4 +1796,119 @@ def q_part_revenue(spark, sf_dir):
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+# ===========================================================================
+# Corpus lifecycle: clusters / redaction / shard packing / decontamination
+# / stratified sampling (operators/corpus.py) — the ops that close the
+# training-data loop after pairwise dedup.
+# ===========================================================================
+
+_JACCARD_PAIRS_SQL = dedup.sql_ngram_jaccard_pairs(
+    f"(SELECT doc_id, {SQL_DUP_TEXT} AS t3 FROM documents)",
+    "doc_id", "t3", n=5, threshold=0.5,
+)
+
+
+@query(
+    "q_dup_clusters",
+    corpus.sql_dup_clusters(_JACCARD_PAIRS_SQL),
+)
+def q_dup_clusters(spark, sf_dir):
+    """connected components over near-dup pairs → (node, cluster_id):
+    the transitive-closure step an actual dedup pass needs (A~B, B~C ⇒
+    one cluster). Min-label propagation with pointer doubling —
+    O(log diameter) shuffles, lineage truncated per round."""
+    d = _t(spark, sf_dir, "documents").withColumn("t3", dup_text())
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "t3", n=5, threshold=0.5)
+    return corpus.dup_clusters(pairs)
+
+
+INJ_PII = (
+    " contact agent.smith@example-corp.com or 10.42.7.255 ref 4111 1111 1111 1111"
+)
+SQL_PII_TEXT = (
+    f"(coalesce(text, '') || CASE WHEN doc_id % 9 = 0 THEN '{_sq(INJ_PII)}'"
+    " ELSE '' END)"
+)
+
+
+def pii_text() -> F.Column:
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(INJ_PII)).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "q_redact",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_PII_TEXT} AS t4 FROM documents)
+    SELECT doc_id, {corpus.sql_redact_text('t4')} AS redacted,
+           {', '.join(corpus.sql_pii_counts('t4'))}
+    FROM d WHERE doc_id % 9 = 0
+    """,
+)
+def q_redact(spark, sf_dir):
+    """PII-style scrub: emails / IPv4s / long number runs masked +
+    per-kind counts — chained JVM regexp_replace, no Python."""
+    d = _t(spark, sf_dir, "documents").withColumn("t4", pii_text())
+    return d.where(F.col("doc_id") % 9 == 0).select(
+        "doc_id",
+        corpus.redact_text(F.col("t4")).alias("redacted"),
+        *corpus.pii_counts(F.col("t4")),
+    )
+
+
+@query(
+    "q_shard_packing",
+    corpus.sql_pack_shards("documents", budget=512),
+)
+def q_shard_packing(spark, sf_dir):
+    """token-budget shard packing: per-source running token cumsum →
+    greedy shard cut. Window partitions by source (parallel strata),
+    never a global ORDER BY."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.pack_shards(d, budget=512)
+
+
+@query(
+    "q_decontaminate",
+    corpus.sql_decontaminate(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0",
+        "SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0",
+        n=3,
+    ),
+)
+def q_decontaminate(spark, sf_dir):
+    """benchmark decontamination: training docs sharing ≥1 word 3-gram
+    with the (broadcast) eval set — the pre-training leakage filter."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.decontaminate(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        ),
+        n=3,
+    )
+
+
+_STRATA_RATES = {"en": 0.6, "de": 0.25, "fr": 1.0}
+
+
+@query(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {corpus.sql_stratified_sample_pred(_STRATA_RATES, default_rate=0.1)}
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """per-stratum deterministic mixture downsample: md5-prefix vs
+    per-language rate threshold — reproducible across engines and
+    partitionings, pure codegen predicate."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.stratified_sample(d, _STRATA_RATES, default_rate=0.1).select(
+        "doc_id", "lang", "source"
     )

@@ -20,3 +20,12 @@ def spark():
     )
     yield s
     s.stop()
+
+
+@pytest.fixture()
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    yield con
+    con.close()

@@ -10,7 +10,14 @@ import pyspark.sql.functions as F
 import pytest
 
 from spamscope_spark.datagen import generate_turns
-from spamscope_spark.operators import dedup, joins, sessionize, similarity, skew
+from spamscope_spark.operators import (
+    corpus,
+    dedup,
+    joins,
+    sessionize,
+    similarity,
+    skew,
+)
 from spamscope_spark.plans import explain
 from spamscope_spark.operators.multimodal import (
     decode_stub,
@@ -443,3 +450,97 @@ class TestPlantedNeardups:
         }
         for vid in range(25):
             assert (vid, vid + 1_000_000_000) in found, vid
+
+
+class TestCorpus:
+    def test_dup_clusters_transitive_chain(self, spark):
+        # chain a-b-c-d-e (diameter 4) + disjoint pair (x, y): transitivity
+        # must close the chain even though ends never pair directly, and
+        # pointer doubling must converge well under max_iter.
+        pairs = spark.createDataFrame(
+            [(10, 20), (20, 30), (30, 40), (40, 50), (70, 80)],
+            "id_a long, id_b long",
+        )
+        out = {r["node"]: r["cluster_id"] for r in corpus.dup_clusters(pairs).collect()}
+        assert out == {10: 10, 20: 10, 30: 10, 40: 10, 50: 10, 70: 70, 80: 70}
+
+    def test_dup_clusters_matches_recursive_oracle(self, spark, duck):
+        import random
+
+        rng = random.Random(7)
+        edges = sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(45)})
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in corpus.dup_clusters(pairs).collect()
+        }
+        duck.execute("CREATE OR REPLACE TABLE p (id_a BIGINT, id_b BIGINT)")
+        duck.executemany("INSERT INTO p VALUES (?, ?)", edges)
+        want = set(
+            duck.execute(
+                corpus.sql_dup_clusters("SELECT id_a, id_b FROM p")
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_redact_masks_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail bob@x.org and 1.2.3.4 card 4111 1111 1111 1111 end"),
+             (2, "clean text")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id",
+                corpus.redact_text(F.col("text")).alias("red"),
+                *corpus.pii_counts(F.col("text")),
+            ).collect()
+        }
+        assert rows[1]["red"] == "mail <EMAIL> and <IP> card <NUM> end"
+        assert (rows[1]["n_email"], rows[1]["n_ip"], rows[1]["n_num"]) == (1, 1, 1)
+        assert rows[2]["red"] == "clean text"
+        assert (rows[2]["n_email"], rows[2]["n_ip"], rows[2]["n_num"]) == (0, 0, 0)
+
+    def test_pack_shards_budget_boundaries(self, spark):
+        # tokens: 3,3,3 with budget 6 -> cumsum-before 0,3,6 -> shards 0,0,1
+        df = spark.createDataFrame(
+            [(1, "a b c", "s"), (2, "d e f", "s"), (3, "g h i", "s"),
+             (4, "j", "t")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["doc_id"]: (r["shard_idx"], r["shard_id"], r["n_tokens"])
+            for r in corpus.pack_shards(df, budget=6).collect()
+        }
+        assert out[1] == (0, "s/0", 3)
+        assert out[2] == (0, "s/0", 3)
+        assert out[3] == (1, "s/1", 3)
+        assert out[4] == (0, "t/0", 1)
+
+    def test_decontaminate_finds_planted_overlap(self, spark):
+        corpus_df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "totally unrelated words here")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "quick brown fox runs away")], "bench_id long, text string"
+        )
+        rows = corpus.decontaminate(corpus_df, bench, n=3).collect()
+        assert [(r["doc_id"], r["bench_id"], r["n_shared"]) for r in rows] == [
+            (1, 100, 1)  # shared 3-gram: "quick brown fox"
+        ]
+
+    def test_stratified_sample_rates(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        kept = corpus.stratified_sample(
+            df, {"en": 1.0, "de": 0.0}, default_rate=0.0
+        ).collect()
+        assert {r["lang"] for r in kept} == {"en"}
+        assert len(kept) == 200
+        # fractional rate lands near its expectation (md5 is uniform)
+        frac = corpus.stratified_sample(df, {"en": 0.5, "de": 0.5}).count()
+        assert 140 <= frac <= 260
