@@ -29,7 +29,8 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="turns table path (parquet dir)")
+    ap.add_argument("--input", required=True, help="turns table path (parquet dir) or Iceberg table name")
+    ap.add_argument("--input-format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--work-dir", required=True, help="checkpoints + outputs root")
     ap.add_argument("--gap-s", type=int, default=1800)
     ap.add_argument("--watermark", default="4 hours")
@@ -52,6 +53,7 @@ def main() -> None:
     cfg = PipelineConfig(
         input_path=args.input,
         work_dir=args.work_dir,
+        input_format=args.input_format,
         gap_s=args.gap_s,
         watermark=args.watermark,
         band_s=args.band_s,
@@ -70,6 +72,7 @@ def main() -> None:
         session_cfg = PipelineConfig(
             input_path=args.input,
             work_dir=args.work_dir,
+            input_format=args.input_format,
             gap_s=args.gap_s,
             watermark=args.watermark,
             band_s=args.band_s,

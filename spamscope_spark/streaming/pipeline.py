@@ -49,6 +49,10 @@ from .sink import IdempotentSink
 class PipelineConfig:
     input_path: str
     work_dir: str
+    # "parquet" (sandbox default) or "iceberg" (real-cluster path:
+    # input_path is a catalog table name; requires the iceberg-spark
+    # runtime on the classpath — see iceberg_sink.iceberg_available).
+    input_format: str = "parquet"
     gap_s: int = 30 * 60
     watermark: str = "4 hours"
     band_s: int = 600
@@ -85,6 +89,17 @@ def read_turns_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     from ..config import ensure_py_files
 
     ensure_py_files(spark)
+    if cfg.input_format == "iceberg":
+        # Real-cluster path: stream the Iceberg table's snapshot log
+        # (input_path = catalog table name). Offsets are snapshot ids —
+        # same resume semantics as file offsets, and the scan prunes on
+        # the table's partition spec (days(ts) at 10^12-turn scale).
+        reader = spark.readStream.format("iceberg")
+        if cfg.max_files_per_trigger:
+            reader = reader.option(
+                "streaming-max-files-per-micro-batch", cfg.max_files_per_trigger
+            )
+        return reader.load(cfg.input_path)
     reader = spark.readStream.schema(TURNS_SCHEMA)
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
@@ -211,9 +226,8 @@ _SESSION_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
 _SESS_BUCKET_COL = "_sess_bucket"
 
-_MAX_SEEN = 512      # bounded dedup state per session (LRU analog of the
-_MAX_SIGS = 8        # reference's maxlen deques, spamscope.example.yml:119-135)
-_NEARDUP_SIM = 0.8
+# Session state-machine bounds live in session_kernel (MAX_SEEN /
+# MAX_SIGS / NEARDUP_SIM) — shared with the transformWithState path.
 
 
 def stateful_sessionize(
@@ -247,64 +261,29 @@ def stateful_sessionize(
     ]
     df = df.select(*[c for c in needed if c in df.columns])
     gap_us = gap_s * 1_000_000
-    COUNTERS = 12  # numeric slots in the state tuple
-
-    def _row(key: str, s: list) -> dict:
-        return {
-            "conv_id": key,
-            "session_seq": s[0],
-            "session_id": f"{key}#{s[0]}",
-            "session_start": pd.Timestamp(s[1], unit="us"),
-            "session_end": pd.Timestamp(s[2], unit="us"),
-            "n_turns": s[3],
-            "n_user": s[4],
-            "n_assistant": s[5],
-            "n_tool": s[6],
-            "n_system": s[7],
-            "n_tool_calls": s[8],
-            "max_phishing_score": int(s[9]),
-            "n_duplicate_turns": s[10],
-            "n_neardup_turns": s[11],
-        }
 
     import pickle
 
-    import numpy as np
-
-    def _grams(sig: str, cache: dict) -> frozenset:
-        g = cache.get(sig)
-        if g is None:
-            g = frozenset(sig[i : i + 2] for i in range(max(1, len(sig) - 1)))
-            cache[sig] = g
-        return g
-
-    _ROLE_SLOT = {"user": 4, "assistant": 5, "tool": 6, "system": 7}
+    from . import session_kernel as sk
 
     def _rearm(state: GroupState, states: dict) -> None:
         """One event-time timer per bucket at min(session_end)+gap,
         clamped above the watermark (Spark rejects timestamps <= wm)."""
-        min_end = min(st[0][2] for st in states.values())
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max((min_end + gap_us) // 1000, wm + 1000))
+        state.setTimeoutTimestamp(
+            max((sk.min_end_us(states) + gap_us) // 1000, wm + 1000)
+        )
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # PERF: every pandas method call in here costs 100-600µs of
-        # per-call overhead, so the per-batch budget is: ONE column
-        # extraction + lexsort per bucket-pdf, then a plain-Python row
-        # loop (keying state per conv_id instead of per bucket made
-        # sort_values alone 30x the real work).
+        # The session state machine itself lives in session_kernel
+        # (shared, byte-identical, with the transformWithStateInPandas
+        # path) — this wrapper is only GroupState plumbing + timers.
         if state.hasTimedOut:
             states: dict = pickle.loads(state.get[0])
             wm_us = state.getCurrentWatermarkMs() * 1000
-            closed = []
-            remaining = {}
-            for cid, (s, seen, sigs) in states.items():
-                if s[2] + gap_us <= wm_us:
-                    closed.append(_row(cid, s))
-                else:
-                    remaining[cid] = (s, seen, sigs)
+            closed, remaining = sk.close_expired(states, wm_us, gap_us)
             if remaining:
                 state.update((pickle.dumps(remaining, protocol=4),))
                 _rearm(state, remaining)
@@ -315,7 +294,6 @@ def stateful_sessionize(
             return
 
         states = pickle.loads(state.get[0]) if state.exists else {}
-        gram_cache: dict = {}
         closed = []
         # Concat Arrow chunks before the lexsort: a bucket bigger than
         # maxRecordsPerBatch arrives as several chunks, and per-chunk
@@ -324,76 +302,7 @@ def stateful_sessionize(
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-            conv = pdf["conv_id"].values
-            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-            order = np.lexsort((pdf["turn_idx"].values, ts_us, conv))
-            conv_l = conv[order].tolist()
-            ts_l = ts_us[order].tolist()
-            roles = pdf["role"].values[order].tolist()
-            tools = pdf["tool"].values[order].tolist()
-            scores = pdf["phishing_score"].values[order].tolist()
-            shas = pdf["sha1"].values[order].tolist()
-            sig_l = pdf["shingle_sig"].values[order].tolist()
-
-            cur = None
-            s = seen = sigs = seen_set = None
-            for j in range(len(ts_l)):
-                cid = conv_l[j]
-                if cid != cur:
-                    if cur is not None:
-                        states[cur] = (s, seen, sigs)
-                    cur = cid
-                    st = states.get(cid)
-                    if st is None:
-                        s, seen, sigs = None, [], []
-                    else:
-                        s, seen, sigs = st
-                    seen_set = set(seen)
-                t = ts_l[j]
-                if s is not None and t - s[2] > gap_us:
-                    closed.append(_row(cid, s))
-                    s = [s[0] + 1, t, t] + [0] * (COUNTERS - 3)
-                    seen, sigs, seen_set = [], [], set()
-                elif s is None:
-                    s = [0, t, t] + [0] * (COUNTERS - 3)
-                if t > s[2]:
-                    s[2] = t
-                s[3] += 1
-                slot = _ROLE_SLOT.get(roles[j])
-                if slot is not None:
-                    s[slot] += 1
-                tool = tools[j]
-                if tool is not None and tool == tool:  # not None / not NaN
-                    s[8] += 1
-                score = scores[j]
-                if score is not None and score == score and score > s[9]:
-                    s[9] = int(score)
-                sha = shas[j]
-                has_sha = isinstance(sha, str) and sha
-                is_dup = has_sha and sha in seen_set
-                if is_dup:
-                    s[10] += 1
-                elif has_sha:
-                    seen.append(sha)
-                    seen_set.add(sha)
-                    if len(seen) > _MAX_SEEN:
-                        seen_set.discard(seen[0])
-                        seen.pop(0)
-                sig = sig_l[j]
-                if isinstance(sig, str) and sig:
-                    if not is_dup and sigs:
-                        g = _grams(sig, gram_cache)
-                        for p in sigs:
-                            gp = _grams(p, gram_cache)
-                            u = len(g | gp)
-                            if u and len(g & gp) / u >= _NEARDUP_SIM:
-                                s[11] += 1
-                                break
-                    sigs.append(sig)
-                    if len(sigs) > _MAX_SIGS:
-                        sigs.pop(0)
-            if cur is not None:
-                states[cur] = (s, seen, sigs)
+            closed = sk.apply_rows(states, pdf, gap_us)
         if states:
             state.update((pickle.dumps(states, protocol=4),))
             _rearm(state, states)

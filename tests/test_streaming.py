@@ -475,3 +475,120 @@ class TestQueueSink:
          .option("path", out_dir).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start().awaitTermination(300))
         assert spark.read.parquet(out_dir).count() == src.count()
+
+
+class TestTwsSessionize:
+    def test_matches_apply_in_pandas_path(self, spark, cfg, tmp_path):
+        """The Spark-4 transformWithStateInPandas sessionizer (RocksDB
+        state + explicit timers) must emit exactly the sessions the
+        applyInPandasWithState path emits for the same input + trigger
+        (shared kernel — this pins the plumbing, not just the math)."""
+        from spamscope_spark.streaming.tws_sessionize import (
+            ROCKSDB_PROVIDER,
+            tws_available,
+            tws_sessionize,
+        )
+
+        if not tws_available(spark):
+            pytest.skip("transformWithState / RocksDB state store unavailable")
+
+        q, base_sink = start_session_query(spark, cfg)
+        q.awaitTermination(300)
+
+        def session_key(sink):
+            return {
+                r["session_id"]: (
+                    r["session_start"], r["session_end"], r["n_turns"],
+                    r["n_user"], r["n_assistant"], r["n_tool"], r["n_system"],
+                    r["n_tool_calls"], r["max_phishing_score"],
+                    r["n_duplicate_turns"], r["n_neardup_turns"],
+                )
+                for r in sink.read_merged(spark).collect()
+            }
+
+        base = session_key(base_sink)
+        assert base  # baseline emitted something
+
+        from spamscope_spark.streaming.pipeline import _session_input
+
+        tws_cfg = PipelineConfig(
+            input_path=cfg.input_path, work_dir=str(tmp_path / "tws")
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        try:
+            df = tws_sessionize(
+                _session_input(spark, tws_cfg), gap_s=tws_cfg.gap_s
+            )
+            sink = IdempotentSink(
+                tws_cfg.output("sessions_tws"), keys=["conv_id", "session_id"]
+            )
+            q = (
+                df.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", tws_cfg.checkpoint("sessions_tws"))
+                .outputMode("append")
+                .queryName("sessions_tws")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+        assert session_key(sink) == base
+
+
+class TestSessionKernel:
+    """Pure-pandas tests of the shared session state machine (no Spark)
+    — both stateful APIs are thin plumbing over this kernel."""
+
+    def _rows(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "conv_id": ["a", "a", "a", "a", "b"],
+                "turn_idx": [0, 1, 2, 3, 0],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:00", "2024-01-01 00:00:30",
+                        "2024-01-01 00:05:00", "2024-01-01 00:05:10",
+                        "2024-01-01 00:00:00",
+                    ]
+                ),
+                "role": ["user", "assistant", "user", "tool", "user"],
+                "tool": [None, "search", None, "search", None],
+                "phishing_score": [0, 5, None, 2, 1],
+                "sha1": ["x", "y", "x", "z", "w"],
+                "shingle_sig": ["abcd", "abce", "abcd", "zzzz", "qqqq"],
+            }
+        )
+
+    def test_gap_closes_and_counters(self):
+        from spamscope_spark.streaming import session_kernel as sk
+
+        gap_us = 60 * 1_000_000
+        states: dict = {}
+        closed = sk.apply_rows(states, self._rows(), gap_us)
+        assert [(c["conv_id"], c["session_seq"], c["n_turns"],
+                 c["max_phishing_score"], c["n_tool_calls"]) for c in closed] == [
+            ("a", 0, 2, 5, 1)
+        ]
+        assert set(states) == {"a", "b"}
+        assert states["a"][0][0] == 1  # open session_seq advanced
+
+    def test_close_expired_by_watermark(self):
+        import pandas as pd
+
+        from spamscope_spark.streaming import session_kernel as sk
+
+        gap_us = 60 * 1_000_000
+        states: dict = {}
+        sk.apply_rows(states, self._rows(), gap_us)
+        wm_us = int(pd.Timestamp("2024-01-01 00:10:00").value // 1000)
+        closed, remaining = sk.close_expired(states, wm_us, gap_us)
+        assert {(c["conv_id"], c["session_seq"]) for c in closed} == {
+            ("a", 1), ("b", 0)
+        }
+        assert remaining == {}
