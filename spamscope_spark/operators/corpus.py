@@ -304,6 +304,190 @@ def sql_decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# token-window document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping word-window chunks — the
+    context-length packing step before tokenization in a training
+    pipeline. Chunk i covers words [i*stride, i*stride + size) with
+    stride = size - overlap; a doc with <= size words is one chunk;
+    empty docs yield no chunks.
+
+    Shape: one pass, no shuffle — split/sequence/explode are all
+    partition-local (the explode multiplies rows ~n_words/stride, the
+    same growth the downstream tokenizer pays anyway). Chunk indices
+    come from `F.sequence`, text from `F.slice` — pure JVM, no Python.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    d = df.select(F.col(id_col), words.alias("_w")).where(F.size("_w") > 0)
+    nw = F.size("_w")
+    n_chunks = F.when(nw <= size, F.lit(1)).otherwise(
+        F.ceil((nw - size) / F.lit(float(stride))).cast("long") + 1
+    )
+    return (
+        d.select(
+            F.col(id_col),
+            F.col("_w"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.array_join(
+                F.slice(
+                    F.col("_w"),
+                    (F.col("chunk_idx") * stride + 1).cast("int"),
+                    size,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(size).cast("long"),
+                F.size("_w") - F.col("chunk_idx") * stride,
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+def sql_chunk_documents(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> str:
+    stride = size - overlap
+    return f"""
+    WITH w AS (
+        SELECT {id_col},
+            list_filter(string_split_regex(trim(coalesce({text_col}, '')),
+                        '\\s+'), x -> x <> '') AS words
+        FROM {table}
+    ), n AS (
+        SELECT {id_col}, words, len(words) AS nw FROM w WHERE len(words) > 0
+    ), c AS (
+        SELECT {id_col}, words, nw,
+            unnest(range(CASE WHEN nw <= {size} THEN 1
+                ELSE CAST(ceil((nw - {size}) / CAST({stride} AS DOUBLE))
+                     AS BIGINT) + 1 END)) AS chunk_idx
+        FROM n
+    )
+    SELECT {id_col}, chunk_idx,
+        array_to_string(list_slice(words, chunk_idx * {stride} + 1,
+                                   chunk_idx * {stride} + {size}), ' ')
+            AS chunk_text,
+        least(CAST({size} AS BIGINT), nw - chunk_idx * {stride})
+            AS chunk_tokens
+    FROM c
+    """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (tf * ln(N/df)) — the classic
+    document-keyword surface a corpus-analysis pass produces. Returns
+    (doc_id, word, tf, df_docs, tfidf rounded to 4dp, rank).
+
+    Shape: explode → two partial-aggregated groupBys (term freq per doc,
+    doc freq per word) → one equi-join on the word key → per-doc window
+    top-k. N (corpus size) joins in as a broadcast 1-row aggregate, not
+    a driver-side action. No global sort: the rank window partitions by
+    doc."""
+    from pyspark.sql import Window
+
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    toks = df.select(F.col(id_col), F.explode(words).alias("word"))
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.groupBy("word")
+        .agg(F.count_distinct(F.col(id_col)).alias("df_docs"))
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, on="word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")), 4
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "word", "tf", "df_docs", "tfidf", "rank")
+    )
+
+
+def sql_tfidf_topk(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(list_filter(string_split_regex(
+            lower(trim(coalesce({text_col}, ''))), '\\s+'), x -> x <> ''))
+            AS word
+        FROM {table}
+    ), tf AS (
+        SELECT {id_col}, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY {id_col}, word
+    ), dfreq AS (
+        SELECT word, CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS df_docs
+        FROM toks GROUP BY word
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs
+        FROM {table}
+    ), scored AS (
+        SELECT tf.{id_col}, tf.word, tf.tf, dfreq.df_docs, n.n_docs,
+            round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_docs), 4) AS tfidf
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    )
+    SELECT {id_col}, word, tf, df_docs, tfidf, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+            ORDER BY tfidf DESC, word ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # per-stratum deterministic sampling
 # ---------------------------------------------------------------------------
 

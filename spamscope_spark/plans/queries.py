@@ -1912,3 +1912,204 @@ def q_stratified_sample(spark, sf_dir):
     return corpus.stratified_sample(d, _STRATA_RATES, default_rate=0.1).select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "q_doc_chunks",
+    corpus.sql_chunk_documents("documents", size=48, overlap=8),
+)
+def q_doc_chunks(spark, sf_dir):
+    """token-window chunking with overlap (context-length packing):
+    each doc → ceil((n-size)/stride)+1 overlapping word windows.
+    Partition-local sequence/explode/slice — zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.chunk_documents(d, size=48, overlap=8)
+
+
+@query(
+    "q_tfidf",
+    corpus.sql_tfidf_topk(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0)", k=5
+    ),
+)
+def q_tfidf(spark, sf_dir):
+    """tf-idf top-5 terms per document: explode → two partial aggs →
+    word-key equi-join → per-doc window top-k; corpus size N joins in
+    as a broadcast 1-row aggregate (no driver action)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text"
+    )
+    return corpus.tfidf_topk(d, k=5)
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           round(SUM(o_totalprice), 2) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """explicit GROUPING SETS (beyond rollup/cube): three named
+    aggregation grains in one pass — Spark expands to a single
+    Expand+partial-agg, not three scans."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "total",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_unpivot",
+    """
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """unpivot/melt wide→long (the inverse of q_pivot) — native
+    `DataFrame.unpivot`, one Expand node, no join or union of scans."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double"),
+        F.col("p_retailprice").cast("double"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+@query(
+    "q_window_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {SQL_DUP_TEXT} AS t2 FROM documents)
+    SELECT doc_id, lang, md5(t2) AS fp FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(t2)
+            ORDER BY doc_id) AS rn
+        FROM d
+    ) WHERE rn = 1
+    """,
+)
+def q_window_dedup(spark, sf_dir):
+    """keep-first dedup via row_number (canonical-row selection): unlike
+    q_dedup_exact (groupBy-min over ids) this keeps the FULL first row —
+    the form used when survivors carry payload columns."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", dup_text().alias("t2")
+    )
+    w = Window.partitionBy(F.md5("t2")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.md5("t2").alias("fp"))
+    )
+
+
+_MIX_TARGETS = {"en": 0.30, "de": 0.20, "fr": 0.20, "es": 0.15, "zh": 0.15}
+
+_SQL_TOKS = (
+    "CAST(len(list_filter(string_split_regex(trim(coalesce(text, '')),"
+    " '\\s+'), x -> x <> '')) AS BIGINT)"
+)
+# CASTs matter: DuckDB float literals are DECIMAL, Spark's are DOUBLE —
+# without the casts the oracle's target_share column would be DECIMAL
+# and stringify as '0.30' vs Spark's '0.3' (hash mismatch).
+_SQL_MIX_TARGET = "(CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN CAST({v} AS DOUBLE)"
+    for k, v in sorted(_MIX_TARGETS.items())
+) + " ELSE CAST(0.0 AS DOUBLE) END)"
+
+
+@query(
+    "q_mixture_weights",
+    f"""
+    WITH t AS (
+        SELECT lang, SUM({_SQL_TOKS}) AS lang_tokens FROM documents
+        GROUP BY lang
+    )
+    SELECT lang, lang_tokens,
+        round(lang_tokens / SUM(lang_tokens) OVER (), 6) AS actual_share,
+        {_SQL_MIX_TARGET} AS target_share,
+        round(least(CAST(1.0 AS DOUBLE), {_SQL_MIX_TARGET}
+              / (lang_tokens / SUM(lang_tokens) OVER ())), 6) AS sample_rate
+    FROM t
+    """,
+)
+def q_mixture_weights(spark, sf_dir):
+    """mixture-weighting: per-language token share → the deterministic
+    downsample rate that hits a target mixture (rate = min(1,
+    target/actual)) — the step that FEEDS stratified_sample. One agg to
+    ~|langs| rows, then an unpartitioned window over those few rows
+    (post-aggregation, so the single-task window sees |langs| rows, not
+    the corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    target = F.lit(0.0)
+    for k, v in sorted(_MIX_TARGETS.items()):
+        target = F.when(F.col("lang") == k, F.lit(v)).otherwise(target)
+    per_lang = d.groupBy("lang").agg(F.sum(toks).alias("lang_tokens"))
+    w = Window.partitionBy()
+    share = F.col("lang_tokens") / F.sum("lang_tokens").over(w)
+    return per_lang.select(
+        "lang",
+        "lang_tokens",
+        F.round(share, 6).alias("actual_share"),
+        target.alias("target_share"),
+        F.round(F.least(F.lit(1.0), target / share), 6).alias("sample_rate"),
+    )
+
+
+@query(
+    "q_length_histogram",
+    f"""
+    WITH t AS (SELECT least(CAST(floor({_SQL_TOKS} / 32) AS BIGINT), 8)
+               AS bucket FROM documents)
+    SELECT bucket, CAST(bucket * 32 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY bucket
+    """,
+)
+def q_length_histogram(spark, sf_dir):
+    """corpus length histogram (fixed-width token buckets, top bucket
+    open-ended): the profile plot behind every length-filter decision.
+    Map-side partial agg to ≤9 groups."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    bucket = F.least(F.floor(toks / 32), F.lit(8).cast("long"))
+    return (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bucket", (F.col("bucket") * 32).alias("bucket_lo"), "n")
+    )

@@ -544,3 +544,55 @@ class TestCorpus:
         # fractional rate lands near its expectation (md5 is uniform)
         frac = corpus.stratified_sample(df, {"en": 0.5, "de": 0.5}).count()
         assert 140 <= frac <= 260
+
+    def test_chunk_documents_boundaries(self, spark):
+        # 10 words, size=4, overlap=1 (stride 3): ceil((10-4)/3)+1 = 3
+        # chunks covering words [0:4), [3:7), [6:10); 3-word doc -> one
+        # chunk; empty doc -> no chunks.
+        ten = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, ten), (2, "a b c"), (3, "   "), (4, None)],
+            "doc_id long, text string",
+        )
+        out = corpus.chunk_documents(df, size=4, overlap=1)
+        rows = {
+            (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+            for r in out.collect()
+        }
+        assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+        assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)
+        assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
+        assert rows[(2, 0)] == ("a b c", 3)
+        assert {d for d, _ in rows} == {1, 2}
+
+    def test_chunk_documents_exact_stride_end(self, spark):
+        # (nw - size) divisible by stride: last chunk must end exactly at
+        # the final word, no phantom extra chunk. nw=7, size=4, stride=3.
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id long, text string"
+        )
+        out = corpus.chunk_documents(df, size=4, overlap=1).collect()
+        assert [(r["chunk_idx"], r["chunk_text"]) for r in sorted(
+            out, key=lambda r: r["chunk_idx"]
+        )] == [(0, "a b c d"), (1, "d e f g")]
+
+    def test_tfidf_hand_computed(self, spark):
+        import math
+
+        # "rare" appears once in doc 1 only (df=1); "the" in all 3 (df=3,
+        # ln(3/3)=0). Top term of doc 1 must be "rare".
+        df = spark.createDataFrame(
+            [(1, "the rare word"), (2, "the common word"), (3, "the word")],
+            "doc_id long, text string",
+        )
+        out = corpus.tfidf_topk(df, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        top1 = {d: rs[0]["word"] for d, rs in by_doc.items()
+                for rs in [sorted(rs, key=lambda r: r["rank"])]}
+        assert top1[1] == "rare"
+        assert top1[2] == "common"
+        r1 = next(r for r in out if r["doc_id"] == 1 and r["word"] == "rare")
+        assert r1["tf"] == 1 and r1["df_docs"] == 1
+        assert abs(r1["tfidf"] - round(math.log(3.0), 4)) < 1e-9

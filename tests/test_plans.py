@@ -82,3 +82,36 @@ def test_salted_agg_two_stage(spark):
     txt = explain.plan_text(df)
     # partial agg on (key, salt), final agg on key → two HashAggregate pairs
     assert txt.count("HashAggregate") >= 4
+
+
+def test_doc_chunking_is_narrow(spark):
+    # chunking must be a partition-local flat map: sequence/explode/
+    # slice with NO Exchange — at 100 TB a shuffle here would move the
+    # whole corpus for no reason.
+    from spamscope_spark.plans.queries import q_doc_chunks
+
+    txt = explain.plan_text(q_doc_chunks(spark, SF))
+    assert "Exchange" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_tfidf_broadcasts_corpus_size(spark):
+    # the 1-row corpus-size aggregate must join in as a broadcast (a
+    # shuffled cross join against a scalar would be absurd at scale)
+    # and the whole query must stay JVM-side.
+    from spamscope_spark.plans.queries import q_tfidf
+
+    df = q_tfidf(spark, SF)
+    txt = explain.plan_text(df)
+    assert explain.has_broadcast_join(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_unpivot_single_expand_no_union(spark):
+    # unpivot = one Expand over one scan; a UNION-of-scans shape would
+    # read the table once per measure.
+    from spamscope_spark.plans.queries import q_unpivot
+
+    txt = explain.plan_text(q_unpivot(spark, SF))
+    assert "Expand" in txt
+    assert "Union" not in txt

@@ -592,3 +592,49 @@ class TestSessionKernel:
             ("a", 1), ("b", 0)
         }
         assert remaining == {}
+
+
+class TestBuiltinDropDuplicates:
+    def test_drop_duplicates_within_watermark_matches_custom_state(
+        self, spark, cfg, tmp_path
+    ):
+        """Spark's built-in dropDuplicatesWithinWatermark as a parity
+        path to streaming/dedup_state.py: DROP semantics (vs our
+        flag-not-drop) — the set of surviving fingerprints must equal
+        the custom operator's unflagged set on the same input. The
+        built-in bounds state by watermark (fingerprints older than the
+        delay are evicted — the bounded-LRU analog of the reference's
+        `check_list`), where our flag operator keeps keys indefinitely;
+        the fixture fits inside the watermark so both agree."""
+        from spamscope_spark.streaming.pipeline import read_turns_stream
+
+        cfg.max_files_per_trigger = 1  # dedup must span microbatches
+        fp = F.sha1(F.coalesce(F.col("text"), F.lit("")))
+        survivors = (
+            read_turns_stream(spark, cfg)
+            .withColumn("fp", fp)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["fp"])
+        )
+        out_dir = str(tmp_path / "dd_out")
+        q = (
+            survivors.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "dd_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            r["fp"]
+            for r in spark.read.parquet(out_dir).select("fp").collect()
+        }
+
+        batch = generate_turns(
+            spark, n_convs=N_CONVS, turns_per_conv=TURNS_PER_CONV
+        ).withColumn("fp", fp)
+        want = {r["fp"] for r in batch.select("fp").distinct().collect()}
+        assert got == want
+        # and it DROPPED (fewer output rows than input when dups exist)
+        n_out = spark.read.parquet(out_dir).count()
+        assert n_out == len(want) < batch.count()
