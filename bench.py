@@ -272,11 +272,23 @@ def _read_proc_stat() -> list[int]:
 
 def _run_worker(cpus: int, input_path: str, work_dir: str) -> dict:
     before = _read_proc_stat()
+    cmd = [
+        sys.executable, __file__, "--stream-worker",
+        str(cpus), input_path, work_dir,
+    ]
+    # Pin the worker's WHOLE process tree (JVM + Python workers) to
+    # exactly `cpus` CPUs. Without this, "local[1]" is not a 1-core
+    # cluster: the JVM task thread and the Python (pandas-udf / state
+    # kernel) worker are separate PROCESSES that pipeline on different
+    # cores, so the N-core baseline silently uses ~1.5-2 cores and the
+    # measured N→4N efficiency underestimates the engine (measured:
+    # sessions-stage data-batch eff 0.81 unpinned → 0.88 pinned, the
+    # hardware ceiling). A real k-core executor confines both under
+    # the same cgroup quota — pinning is the faithful emulation.
+    if shutil.which("taskset") and cpus < os.cpu_count():
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [
-            sys.executable, __file__, "--stream-worker",
-            str(cpus), input_path, work_dir,
-        ],
+        cmd,
         capture_output=True, text=True, timeout=3600,
     )
     after = _read_proc_stat()

@@ -240,19 +240,21 @@ def minhash_lsh_pairs(
     b = buckets.select(
         F.col("doc").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)], "band", "bucket"
     )
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", *[f"a{i}" for i in range(k)], *[f"b{i}" for i in range(k)])
-        .distinct()
-    )
     est = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
     ) / F.lit(float(k))
+    # estimate BEFORE the pair dedup: a pair colliding in several bands
+    # yields identical (id_a, id_b, est) rows (same signatures each
+    # time), so distinct() on the 3-column result equals distinct() on
+    # the 2k+2-column candidates — but the dedup shuffle moves 3 short
+    # columns instead of both full signatures.
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 

@@ -36,8 +36,30 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+# Tables whose queries do heavy per-row compute (shingling, k×md5,
+# regex extraction, large keyword expression trees, dot products).
+_WIDE_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read a star-schema table; for the per-row-compute-heavy tables,
+    widen the scan to cluster parallelism when it under-splits.
+
+    A parquet file is splittable only at row-group boundaries, so a
+    small single-row-group file yields ONE scan partition no matter how
+    many cores the cluster has — and every narrow operator downstream
+    (shingle explode, fingerprints, phishing scoring) inherits that
+    single task. The guard makes this a no-op at scale (a 100 TB corpus
+    scan has ~10^5 splits already); at demo scale it costs one exchange
+    of the raw rows and buys full map-side parallelism. Filters/pruning
+    still reach the scan: Catalyst pushes deterministic predicates and
+    projections through Repartition."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in _WIDE_TABLES:
+        want = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < want:
+            df = df.repartition(want)
+    return df
 
 
 def query(name: str, sql: str | None = None):

@@ -50,13 +50,30 @@ def test_similarity_broadcasts_queries(spark):
 
 def test_enrichment_is_jvm_narrow(spark):
     # the scorer is pure column math: no Python UDF and — critically at
-    # 100TB — no shuffle (a narrow map over the scan). Higher-order
-    # array functions fall back from whole-stage codegen by design;
-    # they are still JVM expressions.
-    df = q_phishing_score(spark, SF)
+    # 100TB — no shuffle added BY the scoring (a narrow map over its
+    # input). The registered query may carry one compensating
+    # repartition when the scan under-splits (single small parquet
+    # file), so the narrowness is pinned on the operator itself over an
+    # already-wide input. Higher-order array functions fall back from
+    # whole-stage codegen by design; they are still JVM expressions.
+    from spamscope_spark.datagen import TARGET_KEYS, SUBJECT_KEYS
+    from spamscope_spark.functions.phishing import with_phishing_columns
+
+    base = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("check gmail payment "), F.col("id").cast("string")).alias("t2"),
+    )
+    df = with_phishing_columns(
+        base, text=F.col("t2"), target_keys=TARGET_KEYS,
+        subject_keys=SUBJECT_KEYS, whitelist=[],
+    )
     txt = explain.plan_text(df)
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
     assert "Exchange" not in txt  # per-turn scoring must not shuffle
+    # and the registered query adds at most the one scan-width exchange
+    qtxt = explain.plan_text(q_phishing_score(spark, SF))
+    assert qtxt.count("Exchange") <= 2  # repartition (+AQE read) only
+    assert "BatchEvalPython" not in qtxt and "ArrowEvalPython" not in qtxt
 
 
 def test_no_python_udf_in_batch_enrich_hot_path(spark):
@@ -86,11 +103,17 @@ def test_salted_agg_two_stage(spark):
 
 def test_doc_chunking_is_narrow(spark):
     # chunking must be a partition-local flat map: sequence/explode/
-    # slice with NO Exchange — at 100 TB a shuffle here would move the
-    # whole corpus for no reason.
-    from spamscope_spark.plans.queries import q_doc_chunks
+    # slice with NO Exchange added by the operator — at 100 TB a
+    # shuffle here would move the whole corpus for no reason. (The
+    # registered query may carry the scan-width repartition; the
+    # operator itself is pinned narrow on an already-wide input.)
+    from spamscope_spark.operators.corpus import chunk_documents
 
-    txt = explain.plan_text(q_doc_chunks(spark, SF))
+    base = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta "), F.col("id").cast("string")).alias("text"),
+    )
+    txt = explain.plan_text(chunk_documents(base, size=8, overlap=2))
     assert "Exchange" not in txt
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
 
