@@ -130,6 +130,20 @@ def test_tfidf_broadcasts_corpus_size(spark):
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
 
 
+def test_under_split_scan_widens_to_parallelism(spark):
+    # the compute-heavy tables (documents/embeddings) ship as one small
+    # parquet file → one scan partition; _t must compensate so shingle/
+    # fingerprint/scoring map work doesn't serialize on one task. At
+    # scale the guard makes this a no-op (scans already have splits).
+    from spamscope_spark.plans import queries as Q
+
+    df = Q._t(spark, SF, "documents")
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    # non-wide tables are left alone (no gratuitous exchange)
+    li = Q._t(spark, SF, "lineitem")
+    assert "Repartition" not in explain.plan_text(li)
+
+
 def test_unpivot_single_expand_no_union(spark):
     # unpivot = one Expand over one scan; a UNION-of-scans shape would
     # read the table once per measure.
