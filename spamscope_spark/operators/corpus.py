@@ -124,6 +124,137 @@ def sql_dup_clusters(pairs_sql: str, src: str = "id_a", dst: str = "id_b") -> st
     """
 
 
+def apply_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """The end of the dedup pipeline: given near-dup PAIRS (from
+    LSH/Jaccard/embedding candidates), drop every cluster member except
+    its canonical representative (the MIN id of its connected
+    component) — the pass that actually shrinks a training corpus.
+
+    Shape: connected components over the (tiny relative to the corpus)
+    pair set, then one LEFT ANTI join of the corpus against the
+    non-canonical member ids — the corpus itself never self-joins and
+    keeps its partitioning. Returns the kept rows of `df` unchanged."""
+    clusters = dup_clusters(pairs, src=src, dst=dst)
+    drop = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def sql_apply_dedup(
+    table: str,
+    pairs_sql: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    select: str = "*",
+) -> str:
+    clusters = sql_dup_clusters(pairs_sql, src=src, dst=dst)
+    return f"""
+    SELECT {select} FROM {table}
+    WHERE {id_col} NOT IN (
+        SELECT node FROM ({clusters}) WHERE node <> cluster_id
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model quality score
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    word-bigram model — the perplexity-style quality filter of real
+    pre-training pipelines (fluent text scores high; keyboard mash,
+    boilerplate-free gibberish and wrong-language text score low).
+
+    score(d) = mean over bigrams (w1,w2) of d of
+               ln( count(w1,w2) / count(w1→·) ),
+    with counts from the whole corpus. Docs with < 2 words get null.
+
+    Shape (100 TB): bigram extraction is partition-local (sequence/
+    transform — no shuffle); model training is ONE groupBy on the
+    bigram key (the unigram context total falls out of the same
+    relation via a window-free second groupBy); scoring is an equi-join
+    of doc-bigrams against the model on the bigram key, then a per-doc
+    partial-aggregated mean. No Python, no driver-side model."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    toks = df.select(F.col(id_col), words.alias("_w")).where(F.size("_w") >= 2)
+    bigrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.struct(
+                    F.element_at("_w", i).alias("w1"),
+                    F.element_at("_w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    model = pair_counts.join(ctx_counts, on="w1").select(
+        "w1", "w2",
+        F.log(F.col("n_pair").cast("double") / F.col("n_ctx")).alias("lp"),
+    )
+    return (
+        bigrams.join(model, on=["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("lp"), 6).alias("bigram_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+def sql_bigram_logprob(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+            list_filter(string_split_regex(lower(trim(coalesce({text_col},
+                ''))), '\\s+'), x -> x <> '') AS w
+        FROM {table}
+    ), bigrams AS (
+        SELECT {id_col}, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ), pair_counts AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM bigrams GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, SUM(n_pair) AS n_ctx FROM pair_counts GROUP BY w1
+    ), model AS (
+        SELECT p.w1, p.w2, ln(CAST(p.n_pair AS DOUBLE) / c.n_ctx) AS lp
+        FROM pair_counts p JOIN ctx c USING (w1)
+    )
+    SELECT b.{id_col}, round(AVG(m.lp), 6) AS bigram_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+    GROUP BY b.{id_col}
+    """
+
+
 # ---------------------------------------------------------------------------
 # PII-style redaction
 # ---------------------------------------------------------------------------

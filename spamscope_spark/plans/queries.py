@@ -1847,6 +1847,35 @@ def q_dup_clusters(spark, sf_dir):
     return corpus.dup_clusters(pairs)
 
 
+@query(
+    "q_dedup_apply",
+    corpus.sql_apply_dedup(
+        "documents", _JACCARD_PAIRS_SQL, select="doc_id, lang, source"
+    ),
+)
+def q_dedup_apply(spark, sf_dir):
+    """the end of the dedup pipeline: pairs → connected components →
+    keep only each cluster's canonical (min-id) member. One LEFT ANTI
+    join of the corpus against the non-canonical ids — the corpus
+    never self-joins."""
+    d = _t(spark, sf_dir, "documents").withColumn("t3", dup_text())
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "t3", n=5, threshold=0.5)
+    return corpus.apply_dedup(d, pairs).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_bigram_logprob",
+    corpus.sql_bigram_logprob("documents"),
+)
+def q_bigram_logprob(spark, sf_dir):
+    """perplexity-style quality score: per-doc mean bigram log-prob
+    under the corpus's own word-bigram model — bigram extraction is
+    partition-local; the model is one groupBy; scoring is an equi-join
+    on the bigram key. No Python, no driver-side model."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bigram_logprob(d)
+
+
 INJ_PII = (
     " contact agent.smith@example-corp.com or 10.42.7.255 ref 4111 1111 1111 1111"
 )

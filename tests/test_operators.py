@@ -485,6 +485,42 @@ class TestCorpus:
         )
         assert got == want
 
+    def test_apply_dedup_keeps_cluster_canonicals(self, spark):
+        # clusters {1,2,3} (via chain) and {7,8}; 5 untouched → keep
+        # min-id per cluster plus the unpaired doc.
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in (1, 2, 3, 5, 7, 8)],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"] for r in corpus.apply_dedup(docs, pairs).collect()
+        )
+        assert kept == [1, 5, 7]
+
+    def test_bigram_logprob_hand_computed(self, spark):
+        import math
+
+        # corpus: "a b a b" and "a b c". model: after 'a' → b:3/3;
+        # after 'b' → a:1/3, c:1/3... wait counts: bigrams d1: (a,b),
+        # (b,a),(a,b); d2: (a,b)? no: "a b c" → (a,b),(b,c).
+        # pair counts: (a,b)=3, (b,a)=1, (b,c)=1; ctx a=3, b=2.
+        # d1 mean = (ln(3/3)+ln(1/2)+ln(3/3))/3 = ln(0.5)/3
+        # d2 mean = (ln(3/3)+ln(1/2))/2 = ln(0.5)/2
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["bigram_logprob"], r["n_bigrams"])
+            for r in corpus.bigram_logprob(df).collect()
+        }
+        assert out[1] == (round(math.log(0.5) / 3, 6), 3)
+        assert out[2] == (round(math.log(0.5) / 2, 6), 2)
+        assert 3 not in out  # single-word doc: no bigrams
+
     def test_redact_masks_and_counts(self, spark):
         df = spark.createDataFrame(
             [(1, "mail bob@x.org and 1.2.3.4 card 4111 1111 1111 1111 end"),
