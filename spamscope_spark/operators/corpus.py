@@ -256,6 +256,109 @@ def sql_bigram_logprob(
 
 
 # ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document repetition signals — the classic web-corpus quality
+    heuristics (duplicate lines / repeated n-grams / one-word-dominance
+    mark boilerplate, scraper loops and keyword stuffing):
+
+    - `dup_line_frac`    1 − distinct/total over newline-split lines
+    - `dup_ngram_frac`   1 − distinct/total over word n-grams
+    - `top_word_frac`    most frequent word's share of all words
+
+    Shape: line/n-gram fractions are pure array expressions — one
+    narrow pass, linear per doc, no shuffle. The word mode goes through
+    explode → (doc, word) count → per-doc max/sum (two partial-agg
+    groupBys on short keys) rather than a per-doc quadratic array scan,
+    so a single pathological 10^6-word document cannot blow up a task."""
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+    def dup_frac(arr: Column) -> Column:
+        return F.when(
+            F.size(arr) > 0,
+            F.round(
+                1 - F.size(F.array_distinct(arr)) / F.size(arr).cast("double"), 6
+            ),
+        ).otherwise(F.lit(None).cast("double"))
+
+    narrow = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(grams).alias("dup_ngram_frac"),
+    )
+    top = (
+        narrow.select(F.col(id_col), F.explode("_w").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+                "top_word_frac"
+            ),
+            F.sum("c").alias("n_words"),
+        )
+    )
+    return narrow.drop("_w").join(top, on=id_col, how="left")
+
+
+def sql_repetition_stats(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    t = f"lower(trim(coalesce({text_col}, '')))"
+    lines = f"list_filter(string_split({t}, chr(10)), x -> trim(x) <> '')"
+    words = f"list_filter(string_split_regex({t}, '\\s+'), x -> x <> '')"
+    grams = (
+        f"list_transform(range(1, greatest(len({words}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({words}, i, i + {n - 1}), ' '))"
+    )
+
+    def dup(arr: str) -> str:
+        return (
+            f"CASE WHEN len({arr}) > 0 THEN round(1 - len(list_distinct({arr}))"
+            f" / CAST(len({arr}) AS DOUBLE), 6) END"
+        )
+
+    return f"""
+    WITH narrow AS (
+        SELECT {id_col}, {words} AS w,
+               {dup(lines)} AS dup_line_frac,
+               {dup(grams)} AS dup_ngram_frac
+        FROM {table}
+    ), cnt AS (
+        SELECT {id_col}, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT {id_col}, unnest(w) AS word FROM narrow)
+        GROUP BY {id_col}, word
+    ), top AS (
+        SELECT {id_col}, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
+                   AS top_word_frac,
+               SUM(c) AS n_words
+        FROM cnt GROUP BY {id_col}
+    )
+    SELECT n.{id_col}, n.dup_line_frac, n.dup_ngram_frac,
+           t.top_word_frac, t.n_words
+    FROM narrow n LEFT JOIN top t USING ({id_col})
+    """
+
+
+# ---------------------------------------------------------------------------
 # PII-style redaction
 # ---------------------------------------------------------------------------
 

@@ -1864,6 +1864,19 @@ def q_dedup_apply(spark, sf_dir):
 
 
 @query(
+    "q_repetition_stats",
+    corpus.sql_repetition_stats("documents"),
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-line /
+    repeated-n-gram fractions (pure array exprs, no shuffle) and the
+    top word's share (explode + two partial-agg groupBys — never a
+    per-doc quadratic scan)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.repetition_stats(d)
+
+
+@query(
     "q_bigram_logprob",
     corpus.sql_bigram_logprob("documents"),
 )

@@ -521,6 +521,27 @@ class TestCorpus:
         assert out[2] == (round(math.log(0.5) / 2, 6), 2)
         assert 3 not in out  # single-word doc: no bigrams
 
+    def test_repetition_stats_hand_computed(self, spark):
+        # doc 1: lines [x, x, y] -> dup_line 1/3; words [x,x,y] ->
+        # 3-grams with padding rule: size-2 array -> one gram "x x y";
+        # top word x: 2/3.
+        # doc 2: "a b a b a" -> 3-grams: [a b a, b a b, a b a] ->
+        # dup 1/3; top word a: 3/5; single line -> dup_line 0.
+        # doc 3: empty -> null fracs, no words row (left join nulls).
+        df = spark.createDataFrame(
+            [(1, "x\nx\ny"), (2, "a b a b a"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in corpus.repetition_stats(df).collect()}
+        assert round(out[1]["dup_line_frac"], 6) == round(1 / 3, 6)
+        assert out[1]["dup_ngram_frac"] == 0.0
+        assert round(out[1]["top_word_frac"], 6) == round(2 / 3, 6)
+        assert out[2]["dup_line_frac"] == 0.0
+        assert round(out[2]["dup_ngram_frac"], 6) == round(1 / 3, 6)
+        assert out[2]["top_word_frac"] == 0.6 and out[2]["n_words"] == 5
+        assert out[3]["dup_line_frac"] is None
+        assert out[3]["top_word_frac"] is None
+
     def test_redact_masks_and_counts(self, spark):
         df = spark.createDataFrame(
             [(1, "mail bob@x.org and 1.2.3.4 card 4111 1111 1111 1111 end"),
