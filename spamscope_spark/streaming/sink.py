@@ -136,3 +136,73 @@ class IdempotentSink:
             .where(F.col("_rn") == 1)
             .drop("_rn", "epoch")
         )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, spark: SparkSession, keep_last: int = 0) -> dict:
+        """Offline small-file compaction — the parquet-fallback analog of
+        Iceberg's `rewrite_data_files`. A long-running availableNow /
+        microbatch stream accumulates one directory per epoch; at the
+        10^12-turn design point that is millions of small files, and
+        every read pays the listing + footer cost. Compaction merges
+        the oldest committed epochs (all but `keep_last`) into the
+        highest epoch of the merged range, applying the same
+        last-writer-wins key merge `read_merged` applies at read time.
+
+        Consistency: `read_merged` output is IDENTICAL before, during,
+        and after — the compacted directory keeps the range's max epoch
+        number, so last-wins ordering against the untouched tail is
+        unchanged, and mid-swap a key is at worst present in both an
+        old epoch dir and the compacted dir with the same winning row.
+        (`read_raw` may transiently double-count mid-swap; run
+        compaction when no cascade STREAMING consumer is tailing the
+        epoch dirs — like Iceberg maintenance, it is an offline op.)
+        The manifest is rewritten atomically (tmp + rename): one entry
+        for the compacted epoch recording `compacted_from`, tail
+        entries preserved."""
+        entries: dict[int, dict] = {}
+        if os.path.exists(self.manifest):
+            with open(self.manifest) as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        entries[e["epoch"]] = e  # last-wins per epoch
+        committed = sorted(entries)
+        target = committed[: len(committed) - keep_last] if keep_last else committed
+        if len(target) < 2:
+            return {"compacted_epochs": 0}
+        k = target[-1]
+        merged_src = spark.read.option("basePath", self.data_dir).parquet(
+            *[os.path.join(self.data_dir, f"epoch={e}") for e in target]
+        )
+        w = Window.partitionBy(*self.keys).orderBy(F.col("epoch").desc())
+        merged = (
+            merged_src.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "epoch")
+        )
+        staging = os.path.join(self.path, f"_staging_compact_{k}")
+        trash = os.path.join(self.path, f"_trash_compact_{k}")
+        for d in (staging, trash):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        merged.write.mode("overwrite").parquet(staging)
+        n = _parquet_num_rows(staging)
+        epoch_dir = os.path.join(self.data_dir, f"epoch={k}")
+        if os.path.exists(epoch_dir):
+            os.rename(epoch_dir, trash)
+        os.rename(staging, epoch_dir)
+        shutil.rmtree(trash, ignore_errors=True)
+        for e in target[:-1]:
+            shutil.rmtree(
+                os.path.join(self.data_dir, f"epoch={e}"), ignore_errors=True
+            )
+        new_entries = [
+            {"epoch": k, "rows": n, "compacted_from": len(target)}
+        ] + [entries[e] for e in committed if e not in set(target)]
+        tmp = self.manifest + ".tmp"
+        with open(tmp, "w") as f:
+            for e in sorted(new_entries, key=lambda x: x["epoch"]):
+                f.write(json.dumps(e) + "\n")
+        os.replace(tmp, self.manifest)
+        return {"compacted_epochs": len(target), "epoch": k, "rows": n}

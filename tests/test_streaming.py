@@ -63,6 +63,34 @@ class TestIdempotentSink:
         rows = {r["k"]: r["v"] for r in sink.read_merged(spark).collect()}
         assert rows == {1: "b", 2: "c"}
 
+    def test_compact_preserves_merged_view(self, spark, tmp_path):
+        import os
+
+        sink = IdempotentSink(str(tmp_path / "s3"), keys=["k"])
+        sink.process_batch(spark.createDataFrame([(1, "a"), (2, "x")], "k int, v string"), 0)
+        sink.process_batch(spark.createDataFrame([(1, "b")], "k int, v string"), 1)
+        sink.process_batch(spark.createDataFrame([(3, "y")], "k int, v string"), 2)
+        sink.process_batch(spark.createDataFrame([(4, "z")], "k int, v string"), 3)
+        before = {r["k"]: r["v"] for r in sink.read_merged(spark).collect()}
+
+        # compact all but the newest epoch: 0,1,2 -> epoch=2
+        res = sink.compact(spark, keep_last=1)
+        assert res["compacted_epochs"] == 3 and res["epoch"] == 2
+        after = {r["k"]: r["v"] for r in sink.read_merged(spark).collect()}
+        assert after == before == {1: "b", 2: "x", 3: "y", 4: "z"}
+        # old epoch dirs gone, compacted + tail remain, manifest rewritten
+        dirs = sorted(os.listdir(sink.data_dir))
+        assert dirs == ["epoch=2", "epoch=3"]
+        assert sink.committed_epochs() == {2, 3}
+        # intra-range last-wins applied at write: compacted rows = 3 keys
+        assert res["rows"] == 3
+        # a second compact folds the remainder into one epoch
+        res2 = sink.compact(spark)
+        assert res2["compacted_epochs"] == 2 and res2["epoch"] == 3
+        assert {r["k"]: r["v"] for r in sink.read_merged(spark).collect()} == before
+        # nothing left to compact
+        assert sink.compact(spark) == {"compacted_epochs": 0}
+
 
 class TestEnrichedStream:
     def test_end_to_end_matches_batch(self, spark, cfg):
