@@ -268,7 +268,9 @@ def repetition_stats(
 ) -> DataFrame:
     """Per-document repetition signals — the classic web-corpus quality
     heuristics (duplicate lines / repeated n-grams / one-word-dominance
-    mark boilerplate, scraper loops and keyword stuffing):
+    mark boilerplate, scraper loops and keyword stuffing; the rule
+    family popularized by the Gopher/MassiveText filtering appendix,
+    Rae et al. 2021, and C4, Raffel et al. 2020):
 
     - `dup_line_frac`    1 − distinct/total over newline-split lines
     - `dup_ngram_frac`   1 − distinct/total over word n-grams
