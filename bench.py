@@ -66,6 +66,8 @@ HEADLINE = [
     "q_part_revenue",
     "q_rule_score",
     "q_dialect_fingerprint",
+    "q_repetition_stats",
+    "q_bigram_logprob",
     "q_turns_flagship",
 ]
 
