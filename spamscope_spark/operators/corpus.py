@@ -157,9 +157,10 @@ def sql_apply_dedup(
 ) -> str:
     clusters = sql_dup_clusters(pairs_sql, src=src, dst=dst)
     return f"""
-    SELECT {select} FROM {table}
-    WHERE {id_col} NOT IN (
-        SELECT node FROM ({clusters}) WHERE node <> cluster_id
+    SELECT {select} FROM {table} t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ({clusters}) c
+        WHERE c.node <> c.cluster_id AND c.node = t.{id_col}
     )
     """
 
@@ -181,7 +182,8 @@ def bigram_logprob(
 
     score(d) = mean over bigrams (w1,w2) of d of
                ln( count(w1,w2) / count(w1→·) ),
-    with counts from the whole corpus. Docs with < 2 words get null.
+    with counts from the whole corpus. Docs with < 2 words have no
+    bigrams and are omitted from the output (no row).
 
     Shape (100 TB): bigram extraction is partition-local (sequence/
     transform — no shuffle); model training is ONE groupBy on the
@@ -301,7 +303,11 @@ def repetition_stats(
         F.col(id_col),
         words.alias("_w"),
         dup_frac(lines).alias("dup_line_frac"),
-        dup_frac(grams).alias("dup_ngram_frac"),
+        # a doc with < n words has NO n-grams — null, not 0.0 (the
+        # `greatest(..., 1)` in `grams` otherwise fabricates one gram
+        # and a too-clean-looking 0.0 for empty/short docs, while
+        # dup_line_frac correctly reads null for the same input)
+        F.when(F.size(words) >= n, dup_frac(grams)).alias("dup_ngram_frac"),
     )
     top = (
         narrow.select(F.col(id_col), F.explode("_w").alias("word"))
@@ -342,7 +348,8 @@ def sql_repetition_stats(
     WITH narrow AS (
         SELECT {id_col}, {words} AS w,
                {dup(lines)} AS dup_line_frac,
-               {dup(grams)} AS dup_ngram_frac
+               CASE WHEN len({words}) >= {n} THEN {dup(grams)} END
+                   AS dup_ngram_frac
         FROM {table}
     ), cnt AS (
         SELECT {id_col}, word, CAST(COUNT(*) AS BIGINT) AS c

@@ -57,6 +57,41 @@ class IdempotentSink:
         self.data_dir = os.path.join(path, "data")
         self.manifest = os.path.join(path, "_manifest.jsonl")
         os.makedirs(self.data_dir, exist_ok=True)
+        self._recover_interrupted_compaction()
+
+    def _recover_interrupted_compaction(self) -> None:
+        """Finish or roll back a compaction that crashed mid-swap.
+
+        Unlike a crashed `process_batch` epoch (which Spark replays from
+        its own commit log), a compaction swap covers long-committed
+        epochs Spark will never re-deliver — a crash between the two
+        renames in `compact()` would leave epoch k's data only in
+        underscore-prefixed dirs invisible to parquet reads, while the
+        manifest still lists it. So on init / compact / read we detect
+        leftovers and converge:
+
+        - staging has a `_SUCCESS` marker and the epoch dir is gone →
+          roll FORWARD (the merged data is complete; rename into place).
+        - epoch dir gone, trash present → roll BACK (restore original).
+        - epoch dir present → the swap never started or already finished;
+          leftovers are garbage → delete them.
+        """
+        if not os.path.isdir(self.path):
+            return
+        for name in os.listdir(self.path):
+            if not name.startswith(("_staging_compact_", "_trash_compact_")):
+                continue
+            k = name.rsplit("_", 1)[-1]
+            staging = os.path.join(self.path, f"_staging_compact_{k}")
+            trash = os.path.join(self.path, f"_trash_compact_{k}")
+            epoch_dir = os.path.join(self.data_dir, f"epoch={k}")
+            if not os.path.exists(epoch_dir):
+                if os.path.exists(os.path.join(staging, "_SUCCESS")):
+                    os.rename(staging, epoch_dir)
+                elif os.path.exists(trash):
+                    os.rename(trash, epoch_dir)
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
 
     # -- commit log --------------------------------------------------------
 
@@ -121,6 +156,7 @@ class IdempotentSink:
     # -- read side (MERGE semantics) ----------------------------------------
 
     def read_raw(self, spark: SparkSession) -> DataFrame:
+        self._recover_interrupted_compaction()
         return spark.read.option("basePath", self.data_dir).parquet(
             os.path.join(self.data_dir, "epoch=*")
         )
@@ -160,6 +196,7 @@ class IdempotentSink:
         The manifest is rewritten atomically (tmp + rename): one entry
         for the compacted epoch recording `compacted_from`, tail
         entries preserved."""
+        self._recover_interrupted_compaction()
         entries: dict[int, dict] = {}
         if os.path.exists(self.manifest):
             with open(self.manifest) as f:
@@ -168,7 +205,13 @@ class IdempotentSink:
                         e = json.loads(line)
                         entries[e["epoch"]] = e  # last-wins per epoch
         committed = sorted(entries)
-        target = committed[: len(committed) - keep_last] if keep_last else committed
+        # keep_last >= len(committed) keeps everything (a negative slice
+        # index would wrap around and compact epochs it was told to keep)
+        target = (
+            committed[: max(len(committed) - keep_last, 0)]
+            if keep_last
+            else committed
+        )
         if len(target) < 2:
             return {"compacted_epochs": 0}
         k = target[-1]
