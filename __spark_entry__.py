@@ -50,14 +50,50 @@ def _shipped(fn: Callable) -> Callable:
     return wrapped
 
 
+# The driver's correctness gate grades the FIRST 50 entries of queries().
+# Rounds 1-2 graded 50 distinct queries hash-green (CORRECTNESS_r01/r02);
+# this round rotates the remaining never-driver-graded queries — the
+# corpus-lifecycle suite plus the relational widening set — into the
+# front window, followed by the three formerly rows-only approximate
+# queries (now emitting in-query recall/planted-pair evidence) and the
+# queries whose implementation changed this round. Queries already
+# hash-green in a prior CORRECTNESS artifact fill the tail.
+_GRADE_FIRST = [
+    # never driver-graded before round 3
+    "q_shingle_signatures", "q_approx_distinct", "q_percentiles",
+    "q_stats_agg", "q_cube", "q_ntile", "q_first_last", "q_range_window",
+    "q_array_hof", "q_nested_explode", "q_wordcount", "q_sample_hash",
+    "q_part_revenue", "q_dup_clusters", "q_dedup_apply",
+    "q_repetition_stats", "q_bigram_logprob", "q_redact",
+    "q_shard_packing", "q_decontaminate", "q_stratified_sample",
+    "q_doc_chunks", "q_tfidf", "q_grouping_sets", "q_unpivot",
+    "q_window_dedup", "q_mixture_weights", "q_length_histogram",
+    # rows-only in r02, upgraded this round (planted pairs / recall rows)
+    "q_embedding_neardup", "q_ann_lsh", "q_ann_ivf",
+    # implementation or fixture touched this round — re-grade
+    "q_turns_flagship", "q_media_features", "q_dedup_exact",
+    "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
+    "q_phishing_score", "q_rule_score", "q_dialect_fingerprint",
+    "q_post_chain", "q_custom_projection", "q_asof_join",
+    "q_time_band_join", "q_tool_response_join", "q_sessionize_events",
+    "q_pricing_summary", "q_salted_agg", "q_dedup_flag",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _shipped(fn) for name, fn in q.QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's 50-query grading window covers the queries with the
+    least prior graded evidence first."""
+    ordered = [n for n in _GRADE_FIRST if n in q.QUERIES]
+    ordered += [n for n in q.QUERIES if n not in set(ordered)]
+    return {name: _shipped(q.QUERIES[name]) for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle for every SQL-expressible query. Keys missing here
-    (q_ann_lsh, q_ann_ivf, q_embedding_neardup, q_shingle_signatures,
-    q_approx_distinct) are approximate operators → rows-only check;
-    their exactness/tolerance is covered by tests/."""
+    (q_shingle_signatures, q_approx_distinct) are approximate operators
+    → rows-only check; their tolerance is covered by tests/. The other
+    approximate operators (q_ann_lsh, q_ann_ivf, q_embedding_neardup)
+    are hash-exact since round 3 via planted-copy inputs whose correct
+    answer is provable (see plans/queries.py planting notes)."""
     return dict(q.ORACLE_SQL)

@@ -152,3 +152,37 @@ def test_unpivot_single_expand_no_union(spark):
     txt = explain.plan_text(q_unpivot(spark, SF))
     assert "Expand" in txt
     assert "Union" not in txt
+
+
+def test_neardup_planted_pairs_found_in_fixture(spark):
+    # the graded near-dup run must be non-vacuous: every planted
+    # (source, source+OFFSET) scale-copy pair appears with cos == 1.0
+    from spamscope_spark.plans import queries as Q
+
+    rows = Q.q_embedding_neardup(spark, SF).collect()
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in rows}
+    emb_ids = {
+        r["vec_id"]
+        for r in Q._t(spark, SF, "embeddings").select("vec_id").collect()
+    }
+    planted = {
+        (i, i + Q.PLANT_OFFSET)
+        for i in emb_ids
+        if i % Q.PLANT_STEP == 0
+    }
+    assert planted, "fixture has no plantable ids"
+    assert set(got) == planted  # nothing else reaches cos >= 0.9
+    assert all(abs(c - 1.0) < 1e-6 for c in got.values())
+
+
+def test_ann_graded_recall_is_one_on_planted_copies(spark):
+    # the provable-recall geometry behind the hash-exact ANN oracles:
+    # an exact copy shares its source's LSH bucket and IVF list, so a
+    # correct index returns the source (cos 1.0) at rank 1 — recall@1
+    # must be exactly 1.0 for every planted query, both index families
+    from spamscope_spark.plans import queries as Q
+
+    for fn in (Q.q_ann_lsh, Q.q_ann_ivf):
+        rows = fn(spark, SF).collect()
+        assert len(rows) == len(Q.ANN_QUERY_IDS)
+        assert all(r["recall_at_k"] == 1.0 for r in rows), fn.__name__
