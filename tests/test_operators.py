@@ -563,6 +563,7 @@ class TestCorpus:
 
     def test_pack_shards_budget_boundaries(self, spark):
         # tokens: 3,3,3 with budget 6 -> cumsum-before 0,3,6 -> shards 0,0,1
+        # (n_buckets=1 isolates the budget math from the skew sub-split)
         df = spark.createDataFrame(
             [(1, "a b c", "s"), (2, "d e f", "s"), (3, "g h i", "s"),
              (4, "j", "t")],
@@ -570,12 +571,47 @@ class TestCorpus:
         )
         out = {
             r["doc_id"]: (r["shard_idx"], r["shard_id"], r["n_tokens"])
-            for r in corpus.pack_shards(df, budget=6).collect()
+            for r in corpus.pack_shards(df, budget=6, n_buckets=1).collect()
         }
-        assert out[1] == (0, "s/0", 3)
-        assert out[2] == (0, "s/0", 3)
-        assert out[3] == (1, "s/1", 3)
-        assert out[4] == (0, "t/0", 1)
+        assert out[1] == (0, "s/0/0", 3)
+        assert out[2] == (0, "s/0/0", 3)
+        assert out[3] == (1, "s/0/1", 3)
+        assert out[4] == (0, "t/0/0", 1)
+
+    def test_pack_shards_dominant_source_parallelizes(self, spark):
+        # one giant stratum must NOT serialize through a single window
+        # task: the cumsum partitions on (source, bucket), so a
+        # 100%-one-source corpus still spreads over n_buckets windows
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, "w " * (i % 5 + 1), "big") for i in range(64)],
+            "doc_id long, text string, source string",
+        )
+        out = corpus.pack_shards(df, budget=8, n_buckets=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "bucket" in plan  # window partition key includes the bucket
+        rows = out.collect()
+        assert {r["bucket"] for r in rows} == set(range(8))
+        # per-bucket budget math holds independently in every sub-bucket
+        for b in range(8):
+            got = sorted(
+                (r["doc_id"], r["n_tokens"], r["shard_idx"])
+                for r in rows
+                if r["bucket"] == b
+            )
+            cum = 0
+            for doc_id, n, idx in got:
+                assert idx == cum // 8
+                cum += n
+        # deterministic under a different physical partitioning
+        again = {
+            (r["doc_id"], r["shard_id"])
+            for r in corpus.pack_shards(
+                df.repartition(13, F.col("text")), budget=8, n_buckets=8
+            ).collect()
+        }
+        assert again == {(r["doc_id"], r["shard_id"]) for r in rows}
 
     def test_decontaminate_finds_planted_overlap(self, spark):
         corpus_df = spark.createDataFrame(
