@@ -70,6 +70,8 @@ _GRADE_FIRST = [
     "q_window_dedup", "q_mixture_weights", "q_length_histogram",
     # rows-only in r02, upgraded this round (planted pairs / recall rows)
     "q_embedding_neardup", "q_ann_lsh", "q_ann_ivf",
+    # new in round 3: real BMP/PPM decode (formerly the codec stub)
+    "q_media_decode",
     # implementation or fixture touched this round — re-grade
     "q_turns_flagship", "q_media_features", "q_dedup_exact",
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",

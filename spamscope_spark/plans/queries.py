@@ -1243,6 +1243,35 @@ def q_media_features(spark, sf_dir):
     )
 
 
+@query(
+    "q_media_decode",
+    """
+    SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+        CAST(3 + doc_id % 3 AS INTEGER) AS width,
+        CAST(2 + doc_id % 4 AS INTEGER) AS height,
+        CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_g,
+        CAST((doc_id * 31 + 101) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def q_media_decode(spark, sf_dir):
+    """REAL image decode (round 3, un-stubbing VERDICT r2 item 7):
+    synthesize genuine BMP/PPM bytes per doc (solid color + dimensions
+    derived arithmetically from doc_id; width-3 BMPs force row padding,
+    PPM headers carry comments), then parse them back with the
+    from-scratch decoder (operators/multimodal.py decode_image). The
+    oracle predicts the decoded header fields and channel means without
+    ever seeing the bytes — a wrong BGR/RGB order, padding misread, or
+    bottom-up flip breaks the hash. Reference analog: attachment content
+    inspection, src/modules/attachments/attachments.py:277-344."""
+    from ..operators.multimodal import decode_images, synthesize_image_payloads
+
+    d = synthesize_image_payloads(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_images(d, "doc_id", "payload")
+
+
 # ===========================================================================
 # Flagship: enriched transcript pipeline (generated turns, materialized
 # to parquet so the DuckDB oracle reads the IDENTICAL input)

@@ -408,6 +408,66 @@ class TestMultimodal:
         assert by_id[3]["byte_size"] == 0
         assert len(by_id[1]["features"]) == 8
 
+    def test_bmp_roundtrip_gradient(self):
+        """Non-solid pixels: encode→decode recovers dims and exact means
+        through BGR ordering, bottom-up rows, and width-3 row padding."""
+        import numpy as np
+
+        from spamscope_spark.operators.multimodal import decode_image, encode_bmp
+
+        px = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(5, 3, 3)  # w=3 pads rows
+        m = decode_image(encode_bmp(px))
+        assert (m["fmt"], m["width"], m["height"]) == ("bmp", 3, 5)
+        want = px.reshape(-1, 3).astype(float).mean(axis=0)
+        assert [m["mean_r"], m["mean_g"], m["mean_b"]] == pytest.approx(list(want))
+
+    def test_ppm_roundtrip_with_comment(self):
+        import numpy as np
+
+        from spamscope_spark.operators.multimodal import decode_image, encode_ppm
+
+        px = (np.arange(4 * 2 * 3, dtype=np.uint8) * 9 % 256).astype(np.uint8)
+        px = px.reshape(2, 4, 3)
+        m = decode_image(encode_ppm(px, comment="hello # nested"))
+        assert (m["fmt"], m["width"], m["height"]) == ("ppm", 4, 2)
+        want = px.reshape(-1, 3).astype(float).mean(axis=0)
+        assert [m["mean_r"], m["mean_g"], m["mean_b"]] == pytest.approx(list(want))
+
+    def test_decode_image_malformed(self):
+        import numpy as np
+
+        from spamscope_spark.operators.multimodal import decode_image, encode_bmp, encode_ppm
+
+        px = np.zeros((2, 2, 3), np.uint8)
+        for bad in (b"", b"GIF89a....", encode_bmp(px)[:-3], encode_ppm(px)[:-3], b"P6\n# only comment"):
+            with pytest.raises(ValueError):
+                decode_image(bad)
+
+    def test_decode_images_dataframe(self, spark):
+        """The q_media_decode path end-to-end: synthesized format bytes
+        parse back to the arithmetically-predicted colors; corrupt
+        payloads yield null features, not task failure."""
+        from spamscope_spark.operators.multimodal import (
+            decode_images,
+            synthesize_image_payloads,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+        out = decode_images(synthesize_image_payloads(docs)).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        for i in range(8):
+            r = by_id[i]
+            assert r["fmt"] == ("bmp" if i % 2 == 0 else "ppm")
+            assert (r["width"], r["height"]) == (3 + i % 3, 2 + i % 4)
+            assert r["mean_r"] == float(i % 256)
+            assert r["mean_g"] == float((i * 7 + 13) % 256)
+            assert r["mean_b"] == float((i * 31 + 101) % 256)
+        corrupt = spark.createDataFrame(
+            [(1, bytearray(b"notanimage")), (2, None)], "doc_id long, payload binary"
+        )
+        rows = {r["doc_id"]: r for r in decode_images(corrupt).collect()}
+        assert rows[1]["fmt"] is None and rows[2]["width"] is None
+
 
 class TestApproxDistinct:
     def test_hll_within_tolerance(self, spark):
