@@ -265,13 +265,14 @@ SCALE_4N = 4 * SCALE_N
 # timescale (measured via /proc/stat sampling — see BENCH/BASELINE.md),
 # which swings identical runs by up to 2x; best-of-N interleaved reps
 # approximates the quiet-host condition for BOTH core counts alike.
-# Default 2 since taskset pinning (pinned local[1] reps reproduce within
-# 1%, so the third rep bought nothing but wall time); the steal gate and
-# tie-breaks below still grant extra reps where a window was dirty.
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# Default 3: the primary statistic is the MEDIAN of pair efficiencies,
+# and a median over three base pairs tolerates one bad window in either
+# direction; the steal gate and the variance trigger below still grant
+# extra reps where draws were dirty or disagreed.
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # Soft wall budget for the whole stream-scaling phase: past it, OPTIONAL
-# extra work (steal retries, near-miss pair retries, tie-break reps) is
+# extra work (steal retries, variance-triggered pairs, tie-break reps) is
 # skipped — the mandatory SCALE_REPS×sizes grid always completes.
 # Protects the graded artifact from an external harness timeout on a
 # slow-host day.
@@ -282,6 +283,9 @@ STREAM_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2300"))
 # the job). The steal% is recorded on EVERY rep either way.
 STEAL_MAX_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_MAX_PCT", "6"))
 MAX_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RETRIES", "5"))
+# The north rule's pass bar — REPORTING context only (shown in
+# BENCH/BASELINE.md); deliberately NOT an input to any sampling or
+# stopping decision, which would bias the estimator toward passing.
 EFF_TARGET = float(os.environ.get("SPARK_GRAFT_EFF_TARGET", "0.8"))
 
 
@@ -354,7 +358,7 @@ def run_stream_scaling() -> dict:
     # Cross-pairing the best N rep from one window with the best 4N rep
     # from another mixes host conditions and can read arbitrarily low
     # OR high; a pair shares one window (short reps — see STREAM_CONVS)
-    # so the drift largely cancels. Efficiency = best pair's
+    # so the drift largely cancels. Efficiency = MEDIAN over pairs of
     # (thr_4N / thr_N) / 4 among physically sane pairs (eff ≤ cap);
     # a pair whose ratio exceeds the superlinear cap measured its own
     # window drift and is excluded from the estimator (still reported).
@@ -369,9 +373,20 @@ def run_stream_scaling() -> dict:
     def pair_eff(p: tuple[dict, dict]) -> float:
         return sustained(p[1]) / sustained(p[0]) / 4.0
 
-    def best_pair() -> tuple[dict, dict]:
+    def sane_pairs() -> list[tuple[dict, dict]]:
         sane = [p for p in pairs if pair_eff(p) <= SUPERLINEAR_CAP]
-        return max(sane or pairs, key=pair_eff)
+        return sane or pairs
+
+    def median_eff() -> float:
+        import statistics
+
+        return statistics.median(pair_eff(p) for p in sane_pairs())
+
+    def median_pair() -> tuple[dict, dict]:
+        """The sane pair whose efficiency is closest to the median —
+        the representative whose walls/throughputs are reported."""
+        m = median_eff()
+        return min(sane_pairs(), key=lambda p: abs(pair_eff(p) - m))
 
     for rep in range(SCALE_REPS):
         lo_r, hi_r = run_pair(f"r{rep}")
@@ -391,16 +406,23 @@ def run_stream_scaling() -> dict:
                 retries_left -= 1
                 run_one(CPUS, f"r{rep}retry")
 
-    # Near-miss retry: host slowdowns that do NOT show up as hypervisor
-    # steal (neighbor memory-bandwidth pressure, all-core clock sag)
-    # can depress a pair below the job's real efficiency. While the
-    # best sane pair misses the target, spend remaining budget on extra
-    # pairs — more one-window draws converge on the quiet-window value.
-    # Runs BEFORE the full-width tie-break: the bar outranks the headline.
-    for _ in range(3):
-        if pair_eff(best_pair()) >= EFF_TARGET or over_budget():
+    # Variance-triggered extras: the PRIMARY statistic is the MEDIAN of
+    # sane pair efficiencies, so extra draws are spent when the draws
+    # DISAGREE (high spread) — never on distance from the grading
+    # target. (r2 shipped a retry-while-below-EFF_TARGET loop whose
+    # stopping rule was conditioned on the pass bar itself; with noisy
+    # draws that max-of-retries scheme upward-biases the headline. The
+    # median is insensitive to one lucky or unlucky window, and the
+    # spread trigger spends budget exactly when one more draw actually
+    # changes the median's stability.)
+    SPREAD_MAX = 0.2  # (max-min)/median of sane pair effs
+    for _ in range(2):
+        effs = [pair_eff(p) for p in sane_pairs()]
+        if over_budget() or len(effs) >= 6:
             break
-        run_pair("nearmiss")
+        if (max(effs) - min(effs)) / max(median_eff(), 1e-9) <= SPREAD_MAX:
+            break
+        run_pair("spread")
 
     # Tie-break rep: the full-width headline should not lose to local[4N]
     # purely through one noisy window — grant it one extra attempt.
@@ -414,10 +436,11 @@ def run_stream_scaling() -> dict:
         retries_left -= 1
         run_one(CPUS, "tiebreak")
 
-    lo, hi = best_pair()
+    lo, hi = median_pair()
     full = max(reps[CPUS], key=sustained) if reps.get(CPUS) else hi
     s_lo, s_hi = sustained(lo), sustained(hi)
     pair_effs = [round(pair_eff(p), 3) for p in pairs]
+    sane_effs = [round(pair_eff(p), 3) for p in sane_pairs()]
     return {
         "turns": full["turns"],
         "scale_n": SCALE_N,
@@ -432,13 +455,20 @@ def run_stream_scaling() -> dict:
         f"throughput_local{SCALE_4N}": hi["turns_per_sec"],
         f"sustained_local{SCALE_N}": s_lo,
         f"sustained_local{SCALE_4N}": s_hi,
-        # primary: the best sane back-to-back pair (one host window)
-        "scaling_efficiency": round((s_hi / s_lo) / 4.0, 3),
+        # primary: MEDIAN of sane back-to-back pair efficiencies (each
+        # pair shares one host window; the median is robust to a single
+        # noisy window in either direction)
+        "scaling_efficiency": round(median_eff(), 3),
+        # wall-clock ratio of the representative (median) pair
         "scaling_efficiency_wall": round(
             (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0, 3
         ),
-        # secondary: best-per-size cross-pairing (mixes host windows —
-        # under-/over-reads when the host drifts between reps)
+        # secondaries: best single sane pair, and best-per-size
+        # cross-pairing (mixes host windows — under-/over-reads when
+        # the host drifts between reps)
+        "scaling_efficiency_best_pair": round(
+            max(pair_eff(p) for p in sane_pairs()), 3
+        ),
         "scaling_efficiency_crossbest": round(
             max(map(sustained, reps[SCALE_4N]))
             / max(map(sustained, reps[SCALE_N]))
@@ -446,6 +476,7 @@ def run_stream_scaling() -> dict:
             3,
         ),
         "pair_efficiencies": pair_effs,
+        "sane_pair_efficiencies": sane_effs,
         "superlinear_cap": SUPERLINEAR_CAP,
         f"sustained_local{CPUS}_fullwidth": full.get("sustained_turns_per_sec"),
         f"throughput_local{CPUS}_fullwidth": full["turns_per_sec"],
