@@ -95,7 +95,17 @@ def run_batch() -> dict:
     # q_turns_flagship warms too: its first call materializes the
     # deterministic turns input to parquet, so the timed pass below
     # measures enrich → sessionize → top-k, not datagen + a write.
-    for warm in ("q_pricing_summary", "q_shingle_signatures", "q_turns_flagship"):
+    # q_ngram_jaccard warms the wide-shuffle path (shingle explode →
+    # multi-GB hash aggregate): the FIRST such query in a fresh JVM
+    # pays ~2x in JIT + first-touch heap growth (measured 8.4s cold vs
+    # 3.9s steady for q_minhash_lsh; which query paid it depended on
+    # run order) — steady state is what a long-lived cluster sees.
+    for warm in (
+        "q_pricing_summary",
+        "q_shingle_signatures",
+        "q_ngram_jaccard",
+        "q_turns_flagship",
+    ):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
