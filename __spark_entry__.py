@@ -70,15 +70,16 @@ _GRADE_FIRST = [
     "q_window_dedup", "q_mixture_weights", "q_length_histogram",
     # rows-only in r02, upgraded this round (planted pairs / recall rows)
     "q_embedding_neardup", "q_ann_lsh", "q_ann_ivf",
-    # new in round 3: real BMP/PPM decode (formerly the codec stub)
-    "q_media_decode",
+    # new in round 3: real BMP/PPM decode (formerly the codec stub) and
+    # paragraph-level boilerplate dedup
+    "q_media_decode", "q_paragraph_dedup",
     # implementation or fixture touched this round — re-grade
     "q_turns_flagship", "q_media_features", "q_dedup_exact",
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
     "q_phishing_score", "q_rule_score", "q_dialect_fingerprint",
     "q_post_chain", "q_custom_projection", "q_asof_join",
     "q_time_band_join", "q_tool_response_join", "q_sessionize_events",
-    "q_pricing_summary", "q_salted_agg", "q_dedup_flag",
+    "q_pricing_summary",
 ]
 
 

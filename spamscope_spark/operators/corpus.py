@@ -805,3 +805,107 @@ def sql_stratified_sample_pred(
             f" ELSE {thr} END)"
         )
     return f"{h} < {thr}"
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level (intra-document span) dedup — boilerplate detection
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate fraction from paragraph-level duplicate
+    detection — the span-granular dedup step of C4/RefinedWeb-style
+    pipelines (whole-doc dedup misses the nav bar / cookie banner /
+    license footer repeated across millions of otherwise-unique pages).
+
+    Documents are segmented into fixed `chunk_words`-word spans (the
+    segmentation for unstructured text with no paragraph markers; with
+    real newline paragraphs, swap the splitter). A span is boilerplate
+    when its document frequency across the corpus reaches `min_df`
+    distinct documents. Output per doc: `n_paras`, `n_dup_paras`,
+    `dup_para_frac`. Docs with no words yield no row (consistent with
+    `bigram_logprob`).
+
+    Shape (100 TB): segmentation is partition-local (split/sequence/
+    slice — no shuffle, no Python); document frequency is ONE groupBy on
+    the span md5 (count-distinct over (hash, doc) pre-deduped map-side);
+    the flag join is a shuffle equi-join on the same short hash key both
+    sides. No all-pairs anything; a span shared by 10^6 docs costs one
+    counter, not 10^12 candidates."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    d = df.select(F.col(id_col), words.alias("_w")).where(F.size("_w") > 0)
+    n_paras = F.ceil(F.size("_w") / F.lit(float(chunk_words))).cast("long")
+    paras = d.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(F.col("_w"), i * chunk_words + 1, chunk_words), " "
+                    )
+                ),
+            )
+        ).alias("para_h"),
+    )
+    doc_freq = (
+        paras.select("para_h", F.col(id_col)).distinct()
+        .groupBy("para_h")
+        .agg(F.count(F.lit(1)).alias("para_df"))
+    )
+    return (
+        paras.join(doc_freq, on="para_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((F.col("para_df") >= min_df).cast("long")).alias("n_dup_paras"),
+            F.round(
+                F.sum((F.col("para_df") >= min_df).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_para_frac"),
+        )
+    )
+
+
+def sql_paragraph_dedup(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+    min_df: int = 2,
+) -> str:
+    return f"""
+    WITH w AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower(trim(coalesce({text_col}, ''))), '\\s+'),
+                           x -> x <> '') AS wl
+        FROM {table}
+    ), paras AS (
+        SELECT {id_col},
+               md5(array_to_string(wl[(i * {chunk_words} + 1):((i + 1) * {chunk_words})], ' ')) AS para_h
+        FROM w, UNNEST(generate_series(0,
+                 CAST(ceil(len(wl) / {chunk_words}.0) AS BIGINT) - 1)) AS t(i)
+        WHERE len(wl) > 0
+    ), doc_freq AS (
+        SELECT para_h, CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS para_df
+        FROM paras GROUP BY para_h
+    )
+    SELECT p.{id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN d.para_df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_paras,
+           round(SUM(CASE WHEN d.para_df >= {min_df} THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_para_frac
+    FROM paras p JOIN doc_freq d USING (para_h)
+    GROUP BY p.{id_col}
+    """

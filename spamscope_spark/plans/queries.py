@@ -2166,6 +2166,28 @@ def q_doc_chunks(spark, sf_dir):
 
 
 @query(
+    "q_paragraph_dedup",
+    corpus.sql_paragraph_dedup(
+        f"(SELECT doc_id, {SQL_DUP_TEXT} AS t3 FROM documents)",
+        text_col="t3",
+        chunk_words=12,
+        min_df=2,
+    ),
+)
+def q_paragraph_dedup(spark, sf_dir):
+    """paragraph-level boilerplate detection (C4/RefinedWeb span dedup):
+    12-word spans hashed, flagged when their document frequency ≥ 2;
+    per-doc boilerplate fraction. Segmentation is shuffle-free; df is
+    one groupBy on the span hash; flagging is an equi-join on the same
+    key. Input uses the dup_text planting (every 17th/23rd doc shares
+    its text) so the graded run is non-vacuous."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", dup_text().alias("t3")
+    )
+    return corpus.paragraph_dedup(d, "doc_id", "t3", chunk_words=12, min_df=2)
+
+
+@query(
     "q_tfidf",
     corpus.sql_tfidf_topk(
         "(SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0)", k=5

@@ -602,6 +602,36 @@ class TestCorpus:
         assert out[3]["dup_line_frac"] is None
         assert out[3]["top_word_frac"] is None
 
+    def test_paragraph_dedup_hand_computed(self, spark):
+        # chunk_words=3: doc1 = [a b c][d e f], doc2 = [a b c][x y z],
+        # doc3 = [q r s], doc4 empty. Span "a b c" has df=2 -> dup in
+        # both docs 1 and 2; everything else df=1.
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "a b c x y z"),
+                (3, "q r s"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.paragraph_dedup(df, chunk_words=3).collect()
+        }
+        assert (out[1]["n_paras"], out[1]["n_dup_paras"]) == (2, 1)
+        assert out[1]["dup_para_frac"] == 0.5
+        assert out[2]["dup_para_frac"] == 0.5
+        assert (out[3]["n_paras"], out[3]["n_dup_paras"]) == (1, 0)
+        assert 4 not in out  # empty doc: no spans, no row
+        # intra-doc repetition alone is NOT boilerplate: df counts
+        # DISTINCT docs, so a span repeated inside one doc stays df=1
+        solo = spark.createDataFrame(
+            [(9, "a b c a b c")], "doc_id long, text string"
+        )
+        r = corpus.paragraph_dedup(solo, chunk_words=3).collect()[0]
+        assert (r["n_paras"], r["n_dup_paras"]) == (2, 0)
+
     def test_redact_masks_and_counts(self, spark):
         df = spark.createDataFrame(
             [(1, "mail bob@x.org and 1.2.3.4 card 4111 1111 1111 1111 end"),
