@@ -384,8 +384,21 @@ def run_stream_scaling() -> dict:
         return sustained(p[1]) / sustained(p[0]) / 4.0
 
     def sane_pairs() -> list[tuple[dict, dict]]:
-        sane = [p for p in pairs if pair_eff(p) <= SUPERLINEAR_CAP]
-        return sane or pairs
+        """Pairs eligible for the estimator. Two VALIDITY filters (both
+        independent of the measured efficiency's distance from any
+        target): (1) steal-clean — a pair either of whose reps exceeded
+        the steal gate measured the neighbors, so it is re-run AND
+        excluded here (r2 re-ran it but still let the polluted draw
+        into the estimator); (2) physically sane — ratio ≤ cap, else
+        the pair measured its own window drift. Degrades gracefully:
+        if every pair fails a filter, the less-filtered set is used."""
+        clean = [
+            p
+            for p in pairs
+            if max(p[0]["steal_pct"], p[1]["steal_pct"]) <= STEAL_MAX_PCT
+        ] or pairs
+        sane = [p for p in clean if pair_eff(p) <= SUPERLINEAR_CAP]
+        return sane or clean
 
     def median_eff() -> float:
         import statistics
