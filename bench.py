@@ -35,6 +35,12 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# The flagship's default 40-conv input (sized for the DuckDB oracle at
+# grading time) measures planning overhead, not the engine. For the
+# bench, raise it to 4000 convs (96k turns) BEFORE the query module is
+# imported so the timed flagship is throughput-dominated. Size-keyed
+# materialization path — see plans/queries.py.
+os.environ.setdefault("SPARK_GRAFT_FLAGSHIP_CONVS", "4000")
 # 6000 convs ≈ 0.38M turns: big enough that per-batch fixed costs
 # amortize into the sustained number (~1-2s against a 150s+ local[1]
 # data batch), small enough that a back-to-back (N, 4N) rep pair fits

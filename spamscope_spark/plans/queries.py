@@ -1277,7 +1277,19 @@ def q_media_decode(spark, sf_dir):
 # to parquet so the DuckDB oracle reads the IDENTICAL input)
 # ===========================================================================
 
-_FLAGSHIP_TURNS_PATH = "/tmp/spamscope_oracle/turns_flagship_40x24"
+# Flagship input size: 40 convs (960 turns) by default — small enough
+# that the DuckDB oracle twin replays it in milliseconds at grading
+# time. bench.py raises it (SPARK_GRAFT_FLAGSHIP_CONVS=4000 → 96k
+# turns) so the timed flagship measures engine throughput rather than
+# per-query planning overhead (at 960 rows, ~95% of the wall was
+# Catalyst analysis + codegen of the large keyword/bitmap expression
+# tree — a fixed cost that amortizes to nothing at real scale). The
+# materialization path is size-keyed, so the two sizes never collide
+# and the oracle always reads exactly the rows the query read.
+_FLAGSHIP_CONVS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_CONVS", "40"))
+_FLAGSHIP_TURNS_PATH = (
+    f"/tmp/spamscope_oracle/turns_flagship_{_FLAGSHIP_CONVS}x24"
+)
 
 
 def _sql_flagship_query() -> str:
@@ -1355,7 +1367,9 @@ def q_turns_flagship(spark, sf_dir):
     repeated correctness runs) reuse the files and time only the
     enrich → sessionize → top-k engine work, not datagen + a write."""
     if not os.path.exists(os.path.join(_FLAGSHIP_TURNS_PATH, "_SUCCESS")):
-        turns = generate_turns(spark, n_convs=40, turns_per_conv=24)
+        turns = generate_turns(
+            spark, n_convs=_FLAGSHIP_CONVS, turns_per_conv=24
+        )
         turns.write.mode("overwrite").parquet(_FLAGSHIP_TURNS_PATH)
     enriched = enrich_turns(spark.read.parquet(_FLAGSHIP_TURNS_PATH))
     sess = sessionize.session_features(enriched, gap_s=30 * 60)
