@@ -78,8 +78,12 @@ _GRADE_FIRST = [
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
     "q_phishing_score", "q_rule_score", "q_dialect_fingerprint",
     "q_post_chain", "q_custom_projection", "q_asof_join",
-    "q_time_band_join", "q_tool_response_join", "q_sessionize_events",
-    "q_pricing_summary",
+    "q_time_band_join", "q_tool_response_join",
+    # new in round 3: bucketed co-located join and partition-pruned
+    # layout (taking the slots of q_sessionize_events and
+    # q_pricing_summary — both unchanged and already hash-green in
+    # r01 + r02 driver artifacts)
+    "q_bucketed_join", "q_partition_pruned",
 ]
 
 

@@ -29,6 +29,7 @@ from ..operators import corpus, dedup, joins, sessionize, similarity, skew
 from ..operators.enrich import enrich_turns
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..oracle import PHISHING_BITMAP
+from ..sources import bucketed, partitioned
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2006,6 +2007,69 @@ def q_part_revenue(spark, sf_dir):
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_bucketed_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(SUM(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """co-located join on a shared bucketed layout: both sides written
+    once with bucketBy(8, custkey).sortBy (sources/bucketed.py — the
+    storage analog of the reference's lifetime hash grouping,
+    topologies/spamscope_elasticsearch.py:40-47), then merge-joined
+    with NO exchange on either side (plan asserted in
+    tests/test_bucketed.py). At 100 TB this turns the per-query fact
+    shuffle into a one-time ingest shuffle."""
+    o = bucketed.ensure_bucketed(spark, sf_dir, "orders", ["o_custkey"], 8)
+    c = bucketed.ensure_bucketed(spark, sf_dir, "customer", ["c_custkey"], 8)
+    joined = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "q_partition_pruned",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(SUM(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND CAST(ts AS DATE) >= DATE '2024-01-15'
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q_partition_pruned(spark, sf_dir):
+    """partition-pruned scan over the hive-partitioned event layout
+    (sources/partitioned.py): the type + date predicates prune whole
+    `event_type=/event_date=/` directories (PartitionFilters — asserted
+    in tests/test_partitioned.py), and the data files are read for the
+    `value` column only. The source-side analog of the reference spout
+    walking only configured mailbox dirs."""
+    ev = partitioned.ensure_partitioned_events(spark, sf_dir)
+    return (
+        ev.where(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("event_date") >= F.lit("2024-01-15").cast("date"))
+        )
+        .groupBy("event_type", "event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
 
