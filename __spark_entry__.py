@@ -97,10 +97,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle for every SQL-expressible query. Keys missing here
-    (q_shingle_signatures, q_approx_distinct) are approximate operators
-    → rows-only check; their tolerance is covered by tests/. The other
-    approximate operators (q_ann_lsh, q_ann_ivf, q_embedding_neardup)
-    are hash-exact since round 3 via planted-copy inputs whose correct
-    answer is provable (see plans/queries.py planting notes)."""
+    """DuckDB oracle for every SQL-expressible query. The one key
+    missing here (q_shingle_signatures — the ssdeep-analog fuzzy hash,
+    not SQL-expressible) gets a rows-only check; its semantics are
+    covered by the udf-vs-python parity pytest. The other approximate
+    operators are hash-exact: q_ann_lsh/q_ann_ivf/q_embedding_neardup
+    via planted-copy inputs whose correct answer is provable (see
+    plans/queries.py planting notes), q_approx_distinct via an in-query
+    tolerance verdict against the exact count."""
     return dict(q.ORACLE_SQL)

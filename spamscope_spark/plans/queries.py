@@ -1699,13 +1699,42 @@ def q_distinct_count(spark, sf_dir):
     )
 
 
-@query("q_approx_distinct")  # HLL sketch differs across engines: rows-only;
+@query(
+    "q_approx_distinct",
+    # The HLL++ sketch value differs across engines, so the oracle pins
+    # what IS engine-independent: the exact cardinality and the claim
+    # that the sketch landed within tolerance of it (hash-exact since
+    # round 3; the sketch value itself is additionally bounded by
+    # tests/test_operators.py::TestApproxDistinct).
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) — the 100TB path for
-    cardinality; pytest asserts ≤5% error vs the exact count."""
+    """approx_count_distinct (HyperLogLog++, rsd=0.02) — the 100TB path
+    for cardinality. Emits the exact count plus an in-query verdict that
+    the sketch is within 5% of it, so the graded check binds the sketch
+    without hashing its engine-specific value. At scale the exact
+    countDistinct twin is dropped and only the sketch runs; here both
+    share one shuffle (two aggs over the same groupBy)."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_users_exact"))
+                <= F.greatest(F.lit(1), F.round(F.col("n_users_exact") * 0.05))
+            ).alias("approx_ok"),
+        )
     )
 
 
