@@ -186,11 +186,16 @@ def bigram_logprob(
     bigrams and are omitted from the output (no row).
 
     Shape (100 TB): bigram extraction is partition-local (sequence/
-    transform — no shuffle); model training is ONE groupBy on the
-    bigram key (the unigram context total falls out of the same
-    relation via a window-free second groupBy); scoring is an equi-join
-    of doc-bigrams against the model on the bigram key, then a per-doc
-    partial-aggregated mean. No Python, no driver-side model."""
+    transform — no shuffle) and runs ONCE: the exploded stream is
+    immediately pre-aggregated to per-(doc, bigram) counts, and that
+    single Exchange subtree feeds BOTH the model-training branch
+    (groupBy bigram → groupBy context) and the scoring branch (join on
+    the bigram key, weighted per-doc mean) via Catalyst's ReuseExchange.
+    The naive two-branch form re-ran the scan + tokenize + explode —
+    the dominant cost — once per consumer (3 scans at r2); this form
+    plan-verifies to 1 scan + 1 ReusedExchange (tests/test_plans.py).
+    The per-doc pre-agg also map-side-combines repeated bigrams before
+    the shuffle. No Python, no driver-side model."""
     words = F.filter(
         F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
         lambda x: x != "",
@@ -208,20 +213,27 @@ def bigram_logprob(
             )
         ).alias("bg"),
     ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    pair_counts = bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("n_pair")
+    # Per-(doc, bigram) occurrence counts — the ONE shuffle the raw
+    # bigram stream pays; both branches below hang off this exchange.
+    doc_bg = bigrams.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_dw")
     )
+    pair_counts = doc_bg.groupBy("w1", "w2").agg(F.sum("n_dw").alias("n_pair"))
     ctx_counts = pair_counts.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
     model = pair_counts.join(ctx_counts, on="w1").select(
         "w1", "w2",
         F.log(F.col("n_pair").cast("double") / F.col("n_ctx")).alias("lp"),
     )
+    # mean over bigram OCCURRENCES = count-weighted mean over distinct
+    # per-doc bigrams (identical value, far fewer join rows).
     return (
-        bigrams.join(model, on=["w1", "w2"])
+        doc_bg.join(model, on=["w1", "w2"])
         .groupBy(id_col)
         .agg(
-            F.round(F.avg("lp"), 6).alias("bigram_logprob"),
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n_dw") * F.col("lp")) / F.sum("n_dw"), 6
+            ).alias("bigram_logprob"),
+            F.sum("n_dw").alias("n_bigrams"),
         )
     )
 
@@ -241,18 +253,21 @@ def sql_bigram_logprob(
         SELECT {id_col}, w[i] AS w1, w[i + 1] AS w2
         FROM toks, unnest(range(1, len(w))) AS t(i)
         WHERE len(w) >= 2
+    ), doc_bg AS (
+        SELECT {id_col}, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_dw
+        FROM bigrams GROUP BY {id_col}, w1, w2
     ), pair_counts AS (
-        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
-        FROM bigrams GROUP BY w1, w2
+        SELECT w1, w2, SUM(n_dw) AS n_pair FROM doc_bg GROUP BY w1, w2
     ), ctx AS (
         SELECT w1, SUM(n_pair) AS n_ctx FROM pair_counts GROUP BY w1
     ), model AS (
         SELECT p.w1, p.w2, ln(CAST(p.n_pair AS DOUBLE) / c.n_ctx) AS lp
         FROM pair_counts p JOIN ctx c USING (w1)
     )
-    SELECT b.{id_col}, round(AVG(m.lp), 6) AS bigram_logprob,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams
-    FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+    SELECT b.{id_col},
+           round(SUM(b.n_dw * m.lp) / SUM(b.n_dw), 6) AS bigram_logprob,
+           CAST(SUM(b.n_dw) AS BIGINT) AS n_bigrams
+    FROM doc_bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
     GROUP BY b.{id_col}
     """
 
@@ -278,11 +293,16 @@ def repetition_stats(
     - `dup_ngram_frac`   1 − distinct/total over word n-grams
     - `top_word_frac`    most frequent word's share of all words
 
-    Shape: line/n-gram fractions are pure array expressions — one
-    narrow pass, linear per doc, no shuffle. The word mode goes through
-    explode → (doc, word) count → per-doc max/sum (two partial-agg
-    groupBys on short keys) rather than a per-doc quadratic array scan,
-    so a single pathological 10^6-word document cannot blow up a task."""
+    Shape: ALL three signals are pure array expressions — ONE narrow
+    partition-local pass, zero shuffles, zero joins. The word mode is
+    array_sort + a single aggregate() run-length scan (the longest run
+    of equal words in the sorted array IS the top word's count), which
+    is O(n log n) per doc — never quadratic, so a pathological
+    10^6-word document costs one in-task sort, not a blown-up state.
+    r2 shipped this as explode → two groupBys → join back, which
+    re-ran the scan + tokenization per branch (2 scans, 3 exchanges at
+    sf0.1) and shuffled every word of the corpus twice; this form
+    plan-verifies to 1 scan / 0 exchanges (tests/test_plans.py)."""
     t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
     lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
     words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
@@ -299,29 +319,44 @@ def repetition_stats(
             ),
         ).otherwise(F.lit(None).cast("double"))
 
-    narrow = df.select(
+    # Longest run of equal words in the SORTED word array == the most
+    # frequent word's count: one codegen'd scan, no explode/shuffle.
+    def run1(acc: Column, x: Column) -> Column:
+        return F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run1(acc, x).alias("run"),
+            F.greatest(acc["best"], run1(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    has_words = F.size(words) > 0
+    return df.select(
         F.col(id_col),
-        words.alias("_w"),
         dup_frac(lines).alias("dup_line_frac"),
         # a doc with < n words has NO n-grams — null, not 0.0 (the
         # `greatest(..., 1)` in `grams` otherwise fabricates one gram
         # and a too-clean-looking 0.0 for empty/short docs, while
         # dup_line_frac correctly reads null for the same input)
         F.when(F.size(words) >= n, dup_frac(grams)).alias("dup_ngram_frac"),
+        F.when(
+            has_words,
+            F.round(top_count / F.size(words).cast("double"), 6),
+        ).alias("top_word_frac"),
+        # null (not 0) for word-less docs — the left-join form's
+        # no-matching-row semantics, kept for oracle parity
+        F.when(has_words, F.size(words).cast("long")).alias("n_words"),
     )
-    top = (
-        narrow.select(F.col(id_col), F.explode("_w").alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
-                "top_word_frac"
-            ),
-            F.sum("c").alias("n_words"),
-        )
-    )
-    return narrow.drop("_w").join(top, on=id_col, how="left")
 
 
 def sql_repetition_stats(

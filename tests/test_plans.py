@@ -186,3 +186,32 @@ def test_ann_graded_recall_is_one_on_planted_copies(spark):
         rows = fn(spark, SF).collect()
         assert len(rows) == len(Q.ANN_QUERY_IDS)
         assert all(r["recall_at_k"] == 1.0 for r in rows), fn.__name__
+
+
+def test_repetition_stats_is_single_pass(spark):
+    # all three Gopher-style signals are array expressions over ONE
+    # scan: no explode, no shuffle, no join — at 100 TB the r2 shape
+    # (explode -> two groupBys -> join back) re-tokenized the corpus
+    # per branch and shuffled every word twice
+    from spamscope_spark.operators.corpus import repetition_stats
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("Scan parquet") == 1
+    assert "Exchange" not in txt
+    assert "Generate" not in txt
+
+
+def test_bigram_logprob_tokenizes_once(spark):
+    # the per-(doc, bigram) pre-aggregate is the ONE exchange the
+    # exploded bigram stream pays; model training and scoring both hang
+    # off it via AQE ReusedExchange, so the scan + tokenize + explode
+    # (the dominant cost) executes once, not three times as in the
+    # naive two-branch form
+    from spamscope_spark.operators.corpus import bigram_logprob
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bigram_logprob(df)
+    out.collect()  # reuse is decided at runtime (AQE stage cache)
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("ReusedExchange") >= 2  # doc_bg + pair_counts
