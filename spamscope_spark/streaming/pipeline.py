@@ -65,6 +65,16 @@ class PipelineConfig:
     # turns — the Storm-topology dataflow (tokenizer bolt feeds the
     # downstream bolts exactly once, topologies/spamscope_debug.py:39-73).
     enriched_source: str | None = None
+    # Keyed-state backend: "hdfs" (default heap-HashMap provider — fine
+    # while per-executor state fits the JVM heap) or "rocksdb"
+    # (RocksDBStateStoreProvider + changelog checkpointing). At the
+    # 10^12-turn design point the dedup/session/join state exceeds
+    # executor heap by orders of magnitude; RocksDB keeps it on local
+    # SSD with bounded memory and checkpoints incrementally (changelog,
+    # not full-snapshot — the knob that keeps commit time flat as state
+    # grows). Recorded per-query at start; a checkpoint resumes with
+    # the provider it was created under.
+    state_store: str = "hdfs"
     # Priority-ingestion approximation (SURVEY §7 risk 6): order each
     # microbatch's sink output by (priority if present, ts, conv_id,
     # turn_idx) — the reference spout's (priority, ctime) queue holds
@@ -443,11 +453,35 @@ def windowed_rates(
 # query assembly
 # ---------------------------------------------------------------------------
 
+_STATE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider",
+}
+
+
+def _apply_state_store(spark: SparkSession, cfg: PipelineConfig) -> None:
+    """Select the keyed-state backend for queries started after this
+    call (the provider is captured from the session conf at query
+    start). rocksdb + changelog checkpointing is the 10^12-turn
+    configuration; hdfs is the small-state default."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        _STATE_PROVIDERS[cfg.state_store],
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        str(cfg.state_store == "rocksdb").lower(),
+    )
+
 
 def start_enriched_query(
     spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
 ):
     """Primary output: enriched JSON-per-turn rows, exactly-once."""
+    _apply_state_store(spark, cfg)
     df = with_json_row(enriched_stream(spark, cfg))
     order = None
     if cfg.priority_order:
@@ -475,6 +509,7 @@ def start_queue_query(
     the tool_calls queue (streaming/queue_sink.py)."""
     from .queue_sink import QueueSink
 
+    _apply_state_store(spark, cfg)
     sink = QueueSink(cfg.output("queues"))
     df = enriched_stream(spark, cfg, dedup_flag=False)
     writer = (
@@ -533,6 +568,7 @@ def start_session_query(
     spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
 ):
     """Per-session feature vectors from the custom stateful sessionizer."""
+    _apply_state_store(spark, cfg)
     sink = IdempotentSink(cfg.output("sessions"), keys=["conv_id", "session_id"])
     df = stateful_sessionize(_session_input(spark, cfg), gap_s=cfg.gap_s)
     writer = (
@@ -554,6 +590,7 @@ def start_window_query(
     sink = IdempotentSink(
         cfg.output("window_rates"), keys=["window_start", "conv_id"]
     )
+    _apply_state_store(spark, cfg)
     df = windowed_rates(
         _session_input(spark, cfg), window_s=cfg.window_s, slide_s=cfg.slide_s
     )
@@ -572,6 +609,7 @@ def start_join_query(
     spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
 ):
     """Tool-call correlation pairs, exactly-once."""
+    _apply_state_store(spark, cfg)
     sink = IdempotentSink(cfg.output("tool_pairs"), keys=["conv_id", "turn_idx"])
     df = tool_response_stream_join(spark, cfg)
     writer = (

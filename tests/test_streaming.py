@@ -666,3 +666,52 @@ class TestBuiltinDropDuplicates:
         # and it DROPPED (fewer output rows than input when dups exist)
         n_out = spark.read.parquet(out_dir).count()
         assert n_out == len(want) < batch.count()
+
+
+class TestRocksDBStateStore:
+    def test_rocksdb_sessions_match_default_provider(self, spark, turns_input, tmp_path):
+        """state_store="rocksdb" (the 10^12-turn backend: state on local
+        disk, changelog checkpointing) must be a pure backend swap —
+        byte-identical session rows vs the default heap provider."""
+        base = PipelineConfig(
+            input_path=turns_input, work_dir=str(tmp_path / "heap")
+        )
+        q, heap_sink = start_session_query(spark, base)
+        q.awaitTermination(300)
+        rocks = PipelineConfig(
+            input_path=turns_input,
+            work_dir=str(tmp_path / "rocks"),
+            state_store="rocksdb",
+        )
+        q, rocks_sink = start_session_query(spark, rocks)
+        q.awaitTermination(300)
+        key = lambda r: (r["conv_id"], r["session_id"])
+        a = {key(r): r for r in heap_sink.read_merged(spark).collect()}
+        b = {key(r): r for r in rocks_sink.read_merged(spark).collect()}
+        assert a and a == b
+
+    def test_rocksdb_checkpoint_resume_is_incremental(self, spark, turns_input, tmp_path):
+        """A restart over a RocksDB checkpoint must resume (not recount):
+        appending new input and re-running adds only the new rows."""
+        cfg = PipelineConfig(
+            input_path=str(tmp_path / "in"),
+            work_dir=str(tmp_path / "wd"),
+            state_store="rocksdb",
+        )
+        first = spark.read.parquet(turns_input)
+        first.coalesce(1).write.mode("append").parquet(cfg.input_path)
+        q, sink = start_enriched_query(spark, cfg)
+        q.awaitTermination(300)
+        n1 = sink.read_merged(spark).count()
+        # event times AHEAD of the checkpointed watermark (behind-the-
+        # watermark rows are dropped as late by design — see
+        # test_restart_resumes_and_new_rows_append)
+        extra = (
+            first.limit(40)
+            .withColumn("conv_id", F.concat(F.lit("late_"), F.col("conv_id")))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        )
+        extra.coalesce(1).write.mode("append").parquet(cfg.input_path)
+        q, sink = start_enriched_query(spark, cfg)
+        q.awaitTermination(300)
+        assert sink.read_merged(spark).count() == n1 + 40
