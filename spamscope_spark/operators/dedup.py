@@ -16,7 +16,7 @@ a cross join; candidate verification joins are bounded by bucket sizes.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -106,9 +106,25 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     flat = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    # ONE shuffle of the exploded shingle stream, on the join key; both
+    # self-join sides reuse it (AQE ReusedExchange). The doc-frequency
+    # cap is a count-over-window ON that same partitioning — not a
+    # separate hot_keys branch: a branch gets column-pruned to a
+    # shingle-only subtree, which no longer canonically matches the
+    # join sides' exchange, so it re-ran the scan + tokenize + explode
+    # (the naive r2 form paid 3 full passes + 3 shuffles over the
+    # biggest relation in the query). The window's sort doubles as the
+    # sort-merge join's sort. A pathological mega-hot shingle buffers
+    # one (spillable) window group before being dropped — bounded by
+    # disk, not memory; tests/test_plans.py pins the one-scan shape.
+    flat = flat.repartition("shingle")
     if max_doc_freq is not None:
-        hot = hot_keys(flat, "shingle", max_doc_freq).select("shingle")
-        flat = flat.join(F.broadcast(hot), on="shingle", how="left_anti")
+        w = Window.partitionBy("shingle")
+        flat = (
+            flat.withColumn("_key_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_key_df") <= max_doc_freq)
+            .drop("_key_df")
+        )
     a = flat.select(
         F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
     )
@@ -224,15 +240,21 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "doc", *[F.col(f"mh{i}") for i in range(k)], F.explode(F.array(*bands)).alias("bb")
     ).select("doc", *[f"mh{i}" for i in range(k)], "bb.band", "bb.bucket")
+    # ONE shuffle of the banded signatures, on the bucket-join key —
+    # both self-join sides reuse this exchange (AQE ReusedExchange),
+    # and the overfull-bucket cap is a count-over-window on the same
+    # partitioning (see ngram_jaccard_pairs for why a separate hot-key
+    # branch defeats the reuse). The naive form re-derived the
+    # signatures (scan + shingle explode + k md5-min aggregations — the
+    # CPU-heaviest stage) once per consumer.
+    buckets = buckets.repartition("band", "bucket")
     if max_bucket_size is not None:
-        hot = hot_keys(
-            buckets.select(F.concat_ws("|", "band", "bucket").alias("bkey")),
-            "bkey",
-            max_bucket_size,
-        ).select("bkey")
-        buckets = buckets.withColumn(
-            "bkey", F.concat_ws("|", "band", "bucket")
-        ).join(F.broadcast(hot), on="bkey", how="left_anti").drop("bkey")
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
 
     a = buckets.select(
         F.col("doc").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)], "band", "bucket"
