@@ -73,12 +73,16 @@ _GRADE_FIRST = [
     # new in round 3: real BMP/PPM decode (formerly the codec stub) and
     # paragraph-level boilerplate dedup
     "q_media_decode", "q_paragraph_dedup",
+    # new in round 3: incremental corpus-vs-new-batch dedup and the
+    # hashed linear quality classifier (taking the slots of
+    # q_post_chain and q_custom_projection — both unchanged since
+    # their hash-green rows in CORRECTNESS_r02)
+    "q_incremental_neardup", "q_hash_classifier",
     # implementation or fixture touched this round — re-grade
     "q_turns_flagship", "q_media_features", "q_dedup_exact",
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
     "q_phishing_score", "q_rule_score", "q_dialect_fingerprint",
-    "q_post_chain", "q_custom_projection", "q_asof_join",
-    "q_time_band_join", "q_tool_response_join",
+    "q_asof_join", "q_time_band_join", "q_tool_response_join",
     # new in round 3: bucketed co-located join and partition-pruned
     # layout (taking the slots of q_sessionize_events and
     # q_pricing_summary — both unchanged and already hash-green in

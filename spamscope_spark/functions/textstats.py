@@ -135,6 +135,103 @@ def sql_quality_score(text_expr: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# hashed linear classifier (fastText-style model-based quality scoring)
+# ---------------------------------------------------------------------------
+#
+# The scale shape of model-based quality filtering: token → hash bucket
+# (hashing trick, vocabulary-free), bucket → weight via a D-row weight
+# table BROADCAST to every executor, per-doc score = mean token weight.
+# The weight table here is a deterministic stand-in derived from md5
+# (production swaps in offline-trained weights with the same (bucket,
+# w_int) contract). Weights are INTEGERS in [-1000, 1000] so the per-doc
+# sum is exact under any partitioning / addition order — a double sum
+# would hash-differ across engines and across runs on skewed partitions.
+
+HASH_DIM = 256  # feature buckets; md5[0:4] hex → int % HASH_DIM
+_W_SCALE = 1000  # w_int in [-_W_SCALE, _W_SCALE]; score = sum/(scale·n)
+
+
+def hash_feature_weights(spark) -> "DataFrame":  # noqa: F821
+    """The D-row weight 'model' as a DataFrame — broadcast-join side."""
+    b = F.col("id").cast("int")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w:"), b.cast("string"))), 1, 6), 16, 10
+    ).cast("bigint")
+    return spark.range(HASH_DIM).select(
+        b.alias("bucket"), (h % (2 * _W_SCALE + 1) - _W_SCALE).alias("w_int")
+    )
+
+
+def token_bucket(tok: Column) -> Column:
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("int"), F.lit(HASH_DIM)
+    )
+
+
+def hashed_linear_scores(
+    df: "DataFrame",  # noqa: F821
+    weights: "DataFrame",  # noqa: F821
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> "DataFrame":  # noqa: F821
+    """Per-doc linear score over hashed token features.
+
+    Plan shape at 100 TB: tokenize+explode is partition-local; the
+    weight join is a broadcast hash join (D rows ship once per
+    executor); the only shuffle is the partial-aggregated groupBy on
+    the doc id. Every token occurrence votes (bag-of-words, not set)."""
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    flat = df.select(F.col(id_col), F.explode(toks).alias("tok")).select(
+        id_col, token_bucket(F.col("tok")).alias("bucket")
+    )
+    agg = (
+        flat.join(F.broadcast(weights), on="bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w_int").alias("w_sum"), F.count(F.lit(1)).alias("n_tok"))
+    )
+    score = F.round(
+        F.col("w_sum").cast("double") / (F.lit(float(_W_SCALE)) * F.col("n_tok")), 6
+    )
+    return agg.select(
+        id_col,
+        score.alias("lm_quality"),
+        (score > F.lit(threshold)).alias("keep"),
+    )
+
+
+def sql_hashed_linear_scores(
+    table: str, id_col: str, text_expr: str, threshold: float = 0.0
+) -> str:
+    """DuckDB twin — identical bucket/weight derivation, exact integer
+    sum, same rounding."""
+    toks = f"string_split_regex(trim(lower(coalesce({text_expr}, ''))), '\\s+')"
+    return f"""
+    WITH weights AS (
+        SELECT CAST(range AS INTEGER) AS bucket,
+               CAST('0x' || substr(md5('w:' || CAST(range AS VARCHAR)), 1, 6)
+                    AS BIGINT) % {2 * _W_SCALE + 1} - {_W_SCALE} AS w_int
+        FROM range({HASH_DIM})
+    ), flat AS (
+        SELECT {id_col},
+               CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % {HASH_DIM} AS bucket
+        FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+    ), agg AS (
+        SELECT {id_col}, SUM(w_int) AS w_sum, COUNT(*) AS n_tok
+        FROM flat JOIN weights USING (bucket)
+        GROUP BY {id_col}
+    )
+    SELECT {id_col},
+           round(CAST(w_sum AS DOUBLE) / ({float(_W_SCALE)} * n_tok), 6) AS lm_quality,
+           (round(CAST(w_sum AS DOUBLE) / ({float(_W_SCALE)} * n_tok), 6)
+            > {threshold}) AS keep
+    FROM agg
+    """
+
+
 def doc_fingerprint(text: Column, shingle_words: int = 5, k: int = 4) -> Column:
     """Bottom-k sketch over word {shingle_words}-gram md5s — a compact,
     deterministic document fingerprint for near-dup triage."""

@@ -202,6 +202,28 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*aggs)
 
 
+def banded_buckets(sig: DataFrame, k: int, rows_per_band: int) -> DataFrame:
+    """Explode a minhash signature table into (doc, mh0..mh{k-1}, band,
+    bucket) rows — one row per band, bucket = md5 of the band's
+    signature components. This IS the persisted LSH index layout: at
+    scale the output is written once, bucketed by (band, bucket), and
+    every later similarity/dedup job joins against it instead of
+    re-shingling the corpus."""
+    n_bands = k // rows_per_band
+    bands = []
+    for band in range(n_bands):
+        comps = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("|", *comps)).alias("bucket"),
+            )
+        )
+    return sig.select(
+        "doc", *[F.col(f"mh{i}") for i in range(k)], F.explode(F.array(*bands)).alias("bb")
+    ).select("doc", *[f"mh{i}" for i in range(k)], "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -227,19 +249,7 @@ def minhash_lsh_pairs(
     near-dup cluster bigger than the cap still pairs through its OTHER
     bands (n_bands chances per pair). Same cap in the SQL twin."""
     sig = minhash_signatures(df, id_col, text_col, k=k, n=n)
-    n_bands = k // rows_per_band
-    bands = []
-    for band in range(n_bands):
-        comps = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws("|", *comps)).alias("bucket"),
-            )
-        )
-    buckets = sig.select(
-        "doc", *[F.col(f"mh{i}") for i in range(k)], F.explode(F.array(*bands)).alias("bb")
-    ).select("doc", *[f"mh{i}" for i in range(k)], "bb.band", "bb.bucket")
+    buckets = banded_buckets(sig, k, rows_per_band)
     # ONE shuffle of the banded signatures, on the bucket-join key —
     # both self-join sides reuse this exchange (AQE ReusedExchange),
     # and the overfull-bucket cap is a count-over-window on the same
@@ -326,6 +336,153 @@ def sql_minhash_lsh_pairs(
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
     )
     SELECT id_a, id_b, est_jaccard FROM cand WHERE est_jaccard >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs persisted corpus index
+# ---------------------------------------------------------------------------
+
+
+def incremental_lsh_matches(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Flag NEW docs that are near-dups of the existing CORPUS — the
+    daily-ingest pattern at 100 TB: dedup today's crawl against the
+    accumulated corpus WITHOUT pairing corpus docs with each other and
+    without re-shingling the corpus. The corpus side here computes its
+    signatures inline for self-containment; in production it is the
+    bucketed (band, bucket)-partitioned signature index the previous
+    run persisted (see `banded_buckets`), so the daily cost is
+    O(|new|) shingling + one join that shuffles ONLY the new side
+    (corpus index already bucket-partitioned → one-sided shuffle).
+
+    The reference's analog is the bounded-LRU seen-before filter
+    (src/bolts/abstracts.py:116-133), which only catches exact repeats
+    within its memory horizon; this is the corpus-lifetime near-dup
+    form.
+
+    Output: one row per matched new doc — (new_id, match_id, est_jaccard)
+    with the best corpus match (ties broken by min corpus id, so the
+    result is deterministic and oracle-hashable).
+    """
+    cb = banded_buckets(
+        minhash_signatures(corpus, id_col, text_col, k=k, n=n), k, rows_per_band
+    )
+    # Overfull-bucket cap on the CORPUS side only (the index side is
+    # where a boilerplate-dominated bucket lives; the new batch is
+    # small by construction). Same window-on-the-join-partitioning
+    # trick as minhash_lsh_pairs: one exchange serves cap + join.
+    cb = cb.repartition("band", "bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        cb = (
+            cb.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    nb = banded_buckets(
+        minhash_signatures(new, id_col, text_col, k=k, n=n), k, rows_per_band
+    )
+    a = nb.select(
+        F.col("doc").alias("new_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+        "band",
+        "bucket",
+    )
+    b = cb.select(
+        F.col("doc").alias("match_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+        "band",
+        "bucket",
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "match_id", "est_jaccard")
+        .distinct()
+    )
+    best = Window.partitionBy("new_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("match_id").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(best))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def sql_incremental_lsh_matches(
+    corpus_sql: str,
+    new_sql: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> str:
+    """DuckDB twin of incremental_lsh_matches; `corpus_sql`/`new_sql`
+    are SELECTs producing (doc, text-expr aliased to `t`)."""
+    sh = sql_word_shingles("t", n)
+    mins = ",\n            ".join(
+        f"MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(k)
+    )
+    n_bands = k // rows_per_band
+
+    def bands(src: str) -> str:
+        rows = []
+        for band in range(n_bands):
+            comps = " || '|' || ".join(
+                f"mh{band * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            rows.append(
+                f"SELECT doc, {', '.join(f'mh{i}' for i in range(k))}, "
+                f"{band} AS band, md5({comps}) AS bucket FROM {src}"
+            )
+        return " UNION ALL ".join(rows)
+
+    cap = (
+        f"QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {max_bucket_size}"
+        if max_bucket_size is not None
+        else ""
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH corpus_docs AS ({corpus_sql}),
+    new_docs AS ({new_sql}),
+    cflat AS (SELECT doc, unnest({sh}) AS shingle FROM corpus_docs),
+    csig AS (SELECT doc, {mins} FROM cflat GROUP BY doc),
+    cb0 AS ({bands('csig')}),
+    cb AS (SELECT * FROM cb0 {cap}),
+    nflat AS (SELECT doc, unnest({sh}) AS shingle FROM new_docs),
+    nsig AS (SELECT doc, {mins} FROM nflat GROUP BY doc),
+    nb AS ({bands('nsig')}),
+    cand AS (
+        SELECT DISTINCT a.doc AS new_id, b.doc AS match_id,
+               round(CAST({eq_terms} AS DOUBLE) / {float(k)}, 6) AS est_jaccard
+        FROM nb a JOIN cb b ON a.band = b.band AND a.bucket = b.bucket
+    )
+    SELECT new_id, match_id, est_jaccard
+    FROM cand
+    WHERE est_jaccard >= {threshold}
+    QUALIFY row_number() OVER (
+        PARTITION BY new_id ORDER BY est_jaccard DESC, match_id ASC) = 1
     """
 
 

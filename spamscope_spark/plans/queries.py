@@ -1028,6 +1028,50 @@ def q_simhash(spark, sf_dir):
     return d.select("doc_id", dedup.simhash(F.col("t3"), bits=16).alias("simhash"))
 
 
+@query(
+    "q_incremental_neardup",
+    dedup.sql_incremental_lsh_matches(
+        corpus_sql=(
+            f"SELECT doc_id AS doc, {SQL_DUP_TEXT} AS t FROM documents "
+            "WHERE doc_id % 10 <> 0"
+        ),
+        new_sql=(
+            f"SELECT doc_id AS doc, {SQL_DUP_TEXT} AS t FROM documents "
+            "WHERE doc_id % 10 = 0"
+        ),
+        id_col="doc", text_col="t", k=8, rows_per_band=2, n=5, threshold=0.5,
+    ),
+)
+def q_incremental_neardup(spark, sf_dir):
+    """incremental dedup: flag NEW docs (doc_id % 10 == 0, the 'daily
+    batch') that near-duplicate the existing corpus (the other 90%),
+    via the persisted-LSH-index join shape — corpus docs are never
+    paired with each other. The planted dup_text() rows guarantee
+    cross-split matches (e.g. doc 170 vs doc 17)."""
+    d = _t(spark, sf_dir, "documents").withColumn("t", dup_text())
+    corpus_df = d.where(F.col("doc_id") % 10 != 0).select("doc_id", "t")
+    new_df = d.where(F.col("doc_id") % 10 == 0).select("doc_id", "t")
+    return dedup.incremental_lsh_matches(
+        corpus_df, new_df, "doc_id", "t", k=8, rows_per_band=2, n=5,
+        threshold=0.5,
+    )
+
+
+@query(
+    "q_hash_classifier",
+    textstats.sql_hashed_linear_scores("documents", "doc_id", "text"),
+)
+def q_hash_classifier(spark, sf_dir):
+    """model-based quality filtering plumbing: hashed-token linear
+    classifier (fastText-style) — tokens hash into HASH_DIM buckets, a
+    broadcast D-row weight table scores each doc, keep = score > 0.
+    Weights are a deterministic md5-derived stand-in; production swaps
+    in trained weights under the same (bucket, w_int) contract."""
+    d = _t(spark, sf_dir, "documents")
+    w = textstats.hash_feature_weights(spark)
+    return textstats.hashed_linear_scores(d, w, "doc_id", "text")
+
+
 # ===========================================================================
 # Similarity search (embeddings)
 # ===========================================================================

@@ -193,6 +193,36 @@ def enriched_stream(
     return enriched.withColumn("_lineage_partition", F.spark_partition_id())
 
 
+def deduped_stream_builtin(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Alternative exact-dedup path: Spark's built-in
+    `dropDuplicatesWithinWatermark` on the content sha1 — all-JVM keyed
+    state (RocksDB-spillable, watermark-evicted), no Python round-trip.
+
+    Semantics deviate from the reference's flag filter deliberately:
+    duplicates are DROPPED (first arrival wins), not flagged — the
+    right choice when downstream never wants duplicates at all (e.g. a
+    training-corpus sink), and the cheaper one: the flag path
+    (dedup_state.py) Arrow-ships every row through Python to preserve
+    the reference's flag-not-drop contract; this path keeps the whole
+    plan in whole-stage codegen. State eviction: a key older than the
+    watermark is dropped from state, so re-arrivals beyond the
+    watermark horizon are NOT deduped — same horizon contract as the
+    stream-stream join."""
+    turns = read_turns_stream(spark, cfg)
+    turns = turns.withColumn(
+        "sha1", F.sha1(F.coalesce(F.col("text"), F.lit("")))
+    ).withWatermark("ts", cfg.watermark)
+    deduped = turns.dropDuplicatesWithinWatermark(["sha1"])
+    enriched = enrich_turns(
+        deduped,
+        target_keys=cfg.target_keys,
+        subject_keys=cfg.subject_keys,
+        whitelist=cfg.whitelist,
+        dedup_flag=False,
+    )
+    return enriched.withColumn("_lineage_partition", F.spark_partition_id())
+
+
 def with_json_row(df: DataFrame) -> DataFrame:
     """Canonical JSON-per-turn serialization (json_maker analog,
     src/bolts/json_maker.py:33-75): deterministic column order, so the
@@ -495,6 +525,28 @@ def start_enriched_query(
         .option("checkpointLocation", cfg.checkpoint("enriched"))
         .outputMode("append")
         .queryName("enriched_turns")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def start_dedup_builtin_query(
+    spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
+):
+    """Drop-duplicates variant of the enriched output: built-in
+    watermark-scoped dedup state (see deduped_stream_builtin), same
+    exactly-once sink contract."""
+    _apply_state_store(spark, cfg)
+    df = with_json_row(deduped_stream_builtin(spark, cfg))
+    sink = IdempotentSink(
+        cfg.output("enriched_dd"), keys=["conv_id", "turn_idx"]
+    )
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cfg.checkpoint("enriched_dd"))
+        .outputMode("append")
+        .queryName("enriched_dedup_builtin")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -173,6 +173,25 @@ class IdempotentSink:
             .drop("_rn", "epoch")
         )
 
+    def read_since(self, spark: SparkSession, after_epoch: int) -> DataFrame:
+        """Incremental (CDC-style) consumer: rows committed in epochs
+        strictly AFTER `after_epoch`. A downstream batch job polls the
+        manifest, processes the delta, and records the max epoch it saw
+        as its own cursor — the parquet-fallback analog of Iceberg
+        incremental reads (snapshot-id ranges). Partition pruning does
+        the work: epoch is the directory key, so only the delta
+        directories are listed/scanned. Run compaction with
+        `keep_last` covering every live consumer's cursor, or a slow
+        consumer's delta epochs get folded away under it."""
+        new = sorted(e for e in self.committed_epochs() if e > after_epoch)
+        if not new:
+            return spark.read.option("basePath", self.data_dir).parquet(
+                self.data_dir
+            ).limit(0)
+        return spark.read.option("basePath", self.data_dir).parquet(
+            *[os.path.join(self.data_dir, f"epoch={e}") for e in new]
+        )
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(self, spark: SparkSession, keep_last: int = 0) -> dict:

@@ -18,6 +18,7 @@ from spamscope_spark.operators import (
     similarity,
     skew,
 )
+from spamscope_spark.functions import textstats
 from spamscope_spark.plans import explain
 from spamscope_spark.operators.multimodal import (
     decode_stub,
@@ -779,3 +780,129 @@ class TestCorpus:
         r1 = next(r for r in out if r["doc_id"] == 1 and r["word"] == "rare")
         assert r1["tf"] == 1 and r1["df_docs"] == 1
         assert abs(r1["tfidf"] - round(math.log(3.0), 4)) < 1e-9
+
+
+class TestIncrementalDedup:
+    """incremental_lsh_matches — new-batch-vs-corpus near-dup via the
+    persisted LSH index join shape (dedup.py)."""
+
+    @pytest.fixture(scope="class")
+    def split(self, spark):
+        corpus_rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally different words entirely unrelated content here now"),
+        ]
+        new_rows = [
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup of 1
+            (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near dup of 1
+            (102, "fresh novel sentence with vocabulary shared by nobody else"),
+        ]
+        schema = "doc_id long, text string"
+        return (
+            spark.createDataFrame(corpus_rows, schema),
+            spark.createDataFrame(new_rows, schema),
+        )
+
+    def test_matches_new_against_corpus_only(self, spark, split):
+        corpus_df, new_df = split
+        out = dedup.incremental_lsh_matches(
+            corpus_df, new_df, "doc_id", n=3, threshold=0.4
+        ).collect()
+        by_new = {r["new_id"]: r for r in out}
+        # the exact dup matches its corpus source at estimate 1.0
+        assert by_new[100]["match_id"] == 1
+        assert by_new[100]["est_jaccard"] == 1.0
+        # the novel doc is not flagged
+        assert 102 not in by_new
+        # corpus ids never appear on the new side; one row per new doc
+        assert all(k >= 100 for k in by_new)
+        assert len(out) == len(by_new)
+
+    def test_corpus_docs_never_pair_with_each_other(self, spark, split):
+        corpus_df, new_df = split
+        # corpus docs 1 and an injected exact dup of 1 must NOT surface:
+        # only new-vs-corpus rows come out
+        corpus_plus = corpus_df.union(
+            corpus_df.where(F.col("doc_id") == 1).select(
+                (F.col("doc_id") + 50).alias("doc_id"), "text"
+            )
+        )
+        out = dedup.incremental_lsh_matches(
+            corpus_plus, new_df, "doc_id", n=3, threshold=0.4
+        ).collect()
+        assert {r["new_id"] for r in out} <= {100, 101, 102}
+
+    def test_bucket_cap_drops_boilerplate(self, spark):
+        hot = "this message was scanned by the corporate gateway and found clean"
+        corpus_df = spark.createDataFrame(
+            [(i, f"{hot}") for i in range(60)]
+            + [(900, "alpha beta gamma delta epsilon zeta eta theta iota")],
+            "doc_id long, text string",
+        )
+        new_df = spark.createDataFrame(
+            [
+                (1000, hot),
+                (1001, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup.incremental_lsh_matches(
+            corpus_df, new_df, "doc_id", n=3, threshold=0.4, max_bucket_size=10
+        ).collect()
+        by_new = {r["new_id"]: r["match_id"] for r in out}
+        # the boilerplate bucket (60 corpus docs) is capped away...
+        assert 1000 not in by_new
+        # ...while the sparse planted pair still matches
+        assert by_new.get(1001) == 900
+
+
+class TestHashClassifier:
+    """hashed_linear_scores — hashing-trick linear quality model with a
+    broadcast weight table (functions/textstats.py)."""
+
+    def _py_score(self, text: str) -> float:
+        import hashlib
+        import re
+
+        toks = re.split(r"\s+", text.strip().lower()) or [""]
+        if text.strip() == "":
+            toks = [""]
+        s = 0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % textstats.HASH_DIM
+            h = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:6], 16)
+            s += h % 2001 - 1000
+        return round(s / (1000.0 * len(toks)), 6)
+
+    def test_matches_python_reference(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "alpha beta gamma"),
+            (3, "payment urgent verify account suspended click here"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        w = textstats.hash_feature_weights(spark)
+        out = {
+            r["doc_id"]: r
+            for r in textstats.hashed_linear_scores(df, w, "doc_id").collect()
+        }
+        for doc_id, text in rows:
+            expect = self._py_score(text or "")
+            assert out[doc_id]["lm_quality"] == expect, doc_id
+            assert out[doc_id]["keep"] == (expect > 0)
+
+    def test_weight_table_shape(self, spark):
+        w = textstats.hash_feature_weights(spark).collect()
+        assert len(w) == textstats.HASH_DIM
+        assert all(-1000 <= r["w_int"] <= 1000 for r in w)
+
+    def test_weight_join_is_broadcast(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        w = textstats.hash_feature_weights(spark)
+        plan = (
+            textstats.hashed_linear_scores(df, w, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan

@@ -715,3 +715,54 @@ class TestRocksDBStateStore:
         q, sink = start_enriched_query(spark, cfg)
         q.awaitTermination(300)
         assert sink.read_merged(spark).count() == n1 + 40
+
+
+class TestDedupBuiltin:
+    def test_drop_duplicates_within_watermark_matches_batch_distinct(
+        self, spark, cfg
+    ):
+        """The built-in all-JVM dedup path: output keys = one turn per
+        distinct sha1 (first arrival wins within the watermark)."""
+        from spamscope_spark.streaming.pipeline import start_dedup_builtin_query
+
+        query, sink = start_dedup_builtin_query(spark, cfg)
+        query.awaitTermination(300)
+        out = sink.read_merged(spark)
+        raw = spark.read.parquet(cfg.input_path).withColumn(
+            "sha1", F.sha1(F.coalesce(F.col("text"), F.lit("")))
+        )
+        n_distinct = raw.select("sha1").distinct().count()
+        assert out.count() == n_distinct
+        # exactly one output row per content hash, all enriched
+        assert (
+            out.groupBy("sha1").count().where(F.col("count") > 1).count() == 0
+        )
+        assert "phishing_score" in out.columns
+
+    def test_replay_is_exactly_once(self, spark, cfg):
+        from spamscope_spark.streaming.pipeline import start_dedup_builtin_query
+
+        q1, sink = start_dedup_builtin_query(spark, cfg)
+        q1.awaitTermination(300)
+        n1 = sink.read_merged(spark).count()
+        q2, sink2 = start_dedup_builtin_query(spark, cfg)
+        q2.awaitTermination(300)
+        assert sink2.read_merged(spark).count() == n1
+
+
+class TestIncrementalConsumer:
+    def test_read_since_returns_only_new_epochs(self, spark, tmp_path):
+        sink = IdempotentSink(str(tmp_path / "cdc"), keys=["k"])
+        df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        df1 = spark.createDataFrame([(3, "c")], "k long, v string")
+        df2 = spark.createDataFrame([(4, "d"), (5, "e")], "k long, v string")
+        sink.process_batch(df0, 0)
+        sink.process_batch(df1, 1)
+        cursor = max(sink.committed_epochs())  # consumer checkpoint
+        sink.process_batch(df2, 2)
+        delta = sink.read_since(spark, cursor)
+        assert sorted(r["k"] for r in delta.collect()) == [4, 5]
+        # caught-up consumer sees an empty (but well-formed) delta
+        assert sink.read_since(spark, 2).count() == 0
+        # from the beginning = everything
+        assert sink.read_since(spark, -1).count() == 5
