@@ -258,10 +258,14 @@ SESSION_OUT_SCHEMA = StructType(
 # Keying state on a hash bucket of conv_id instead of conv_id itself is
 # the same scale move as dedup_state.py: one Python invocation + one
 # pandas column extraction per BUCKET per batch (amortized over its
-# conversations) instead of per conversation — per-group pandas call
-# overhead (~0.5 ms) at 10^6+ live conversations would otherwise
-# dominate the stage. Buckets are uniform (hash of a high-cardinality
-# key); per-bucket state stays bounded by convs/bucket.
+# conversations) instead of per conversation — measured ~12 ms of
+# applyInPandasWithState machinery per GROUP per batch regardless of
+# group size, which at 10^6+ live conversations would dominate the
+# stage. Buckets are uniform (hash of a high-cardinality key);
+# per-bucket state stays bounded by convs/bucket. Default 256 buckets
+# (see dedup_state.py for the measurement); like there, n_buckets is
+# part of the checkpoint contract — don't change it on a live
+# checkpoint.
 _SESSION_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
 _SESS_BUCKET_COL = "_sess_bucket"
@@ -271,7 +275,7 @@ _SESS_BUCKET_COL = "_sess_bucket"
 
 
 def stateful_sessionize(
-    df: DataFrame, gap_s: int = 30 * 60, n_buckets: int = 1024
+    df: DataFrame, gap_s: int = 30 * 60, n_buckets: int = 256
 ) -> DataFrame:
     """Per-conv_id session windows with a gap timeout, held in keyed
     state and closed by event-time timeout when the watermark passes

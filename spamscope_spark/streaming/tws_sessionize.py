@@ -56,7 +56,7 @@ def tws_available(spark: SparkSession) -> bool:
 
 
 def tws_sessionize(
-    df: DataFrame, gap_s: int = 30 * 60, n_buckets: int = 1024
+    df: DataFrame, gap_s: int = 30 * 60, n_buckets: int = 256
 ) -> DataFrame:
     """transformWithStateInPandas form of stateful_sessionize — same
     bucketed keying, same kernel, same SESSION_OUT_SCHEMA rows. The
