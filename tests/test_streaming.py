@@ -9,6 +9,7 @@ import os
 
 import pyspark.sql.functions as F
 import pytest
+from pyspark.sql import Window
 
 from spamscope_spark.datagen import generate_turns
 from spamscope_spark.operators.enrich import enrich_turns
@@ -766,3 +767,115 @@ class TestIncrementalConsumer:
         assert sink.read_since(spark, 2).count() == 0
         # from the beginning = everything
         assert sink.read_since(spark, -1).count() == 5
+
+
+class TestCepStream:
+    """Streaming CEP (cep_state.match_sequence_stream) emits exactly the
+    batch operator's matches for every end event at or below the final
+    watermark — same pattern, same input, multi-batch arrival."""
+
+    WITHIN_S = 24 * 3600
+    DELAY = "1 hour"
+
+    def _preds(self):
+        return dict(
+            start_pred=F.col("event_type") == "purchase",
+            mid_pred=F.col("event_type").isin("click", "view"),
+            end_pred=F.col("event_type") == "error",
+        )
+
+    def test_matches_batch_below_watermark(self, spark, tmp_path):
+        from spamscope_spark.operators import cep
+        from spamscope_spark.streaming import cep_state
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")  # watermark rejects NTZ
+        )
+        # four time-ordered files -> four microbatches, advancing watermark
+        inp = str(tmp_path / "ev_in")
+        n = ev.count()
+        ranked = ev.orderBy("ts", "event_id").withColumn(
+            "_q", F.floor(F.row_number().over(
+                Window.orderBy("ts", "event_id")) * 4 / (n + 1))
+        )
+        for q in range(4):
+            ranked.where(F.col("_q") == q).drop("_q").coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+            .withWatermark("ts", self.DELAY)
+        )
+        out = cep_state.match_sequence_stream(
+            stream, key="user_id", ts="ts", id_col="event_id",
+            within_s=self.WITHIN_S, **self._preds(),
+        )
+        outdir = str(tmp_path / "cep_out")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r.user_id, r.start_id, r.end_id, r.n_mid, r.duration_ms)
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+        batch = cep.match_sequence(
+            ev, key="user_id", ts="ts", id_col="event_id",
+            within_s=self.WITHIN_S, **self._preds(),
+        )
+        # final watermark: global max event time minus delay, ms-truncated
+        max_us = ev.agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).first()[0]
+        wm_us = (max_us - 3600 * 1_000_000) // 1000 * 1000
+        ends = ev.select(
+            F.col("event_id").alias("end_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("_end_us"),
+        )
+        exp = {
+            (r.user_id, r.start_id, r.end_id, r.n_mid, r.duration_ms)
+            for r in batch.join(ends, "end_id")
+            .where(F.col("_end_us") <= wm_us)
+            .collect()
+        }
+        assert len(exp) > 0
+        assert got == exp
+
+    def test_kernel_positions_persist_across_batches(self):
+        from spamscope_spark.streaming.cep_state import (
+            _new_key_state,
+            advance_key,
+        )
+
+        w_us = 600 * 1_000_000
+        ks = _new_key_state()
+        # batch 1: S at t=0, M at t=60s buffered; watermark at 100s
+        ks[0].extend([(0, 1, "S"), (60_000_000, 2, "M")])
+        assert advance_key(ks, 100_000_000, w_us) == []
+        # batch 2: E at t=120s; watermark passes it -> match, n_mid
+        # counts the M processed in the earlier batch
+        ks[0].append((120_000_000, 3, "E"))
+        assert advance_key(ks, 200_000_000, w_us) == [(1, 3, 1, 120_000)]
+        # chain broken by the E; a later E alone cannot match
+        ks[0].append((180_000_000, 4, "E"))
+        assert advance_key(ks, 300_000_000, w_us) == []
+
+    def test_kernel_rows_above_watermark_stay_buffered(self):
+        from spamscope_spark.streaming.cep_state import (
+            _new_key_state,
+            advance_key,
+        )
+
+        ks = _new_key_state()
+        ks[0].extend([(10, 1, "S"), (50, 2, "E")])
+        assert advance_key(ks, 20, 10**9) == []  # E still above wm
+        assert ks[0] == [(50, 2, "E")]
+        assert advance_key(ks, 60, 10**9) == [(1, 2, 0, 0)]
