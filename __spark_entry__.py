@@ -79,8 +79,9 @@ _GRADE_FIRST = [
     # their hash-green rows in CORRECTNESS_r02)
     "q_incremental_neardup", "q_hash_classifier",
     # new in round 3: CEP sequence-pattern matching (MATCH_RECOGNIZE
-    # analog, operators/cep.py)
-    "q_event_pattern",
+    # analog, operators/cep.py) and exact heavy hitters (local
+    # candidates + recount, operators/corpus.py)
+    "q_event_pattern", "q_heavy_hitters",
     # implementation or fixture touched this round — re-grade
     "q_turns_flagship", "q_media_features", "q_dedup_exact",
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",

@@ -944,3 +944,109 @@ def sql_paragraph_dedup(
     FROM paras p JOIN doc_freq d USING (para_h)
     GROUP BY p.{id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: exact frequent tokens via local candidates + recount
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text_col: Column) -> Column:
+    """Whitespace tokens, empties dropped — byte-identical to the
+    _SQL_TOKS tokenization the token-count queries use."""
+    return F.filter(
+        F.split(F.trim(F.coalesce(text_col, F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k_inv: int = 50,
+) -> DataFrame:
+    """EXACT tokens whose global frequency is >= 1/k_inv of all tokens
+    (vocabulary profiling / stopword discovery over a corpus), without
+    ever shuffling the token long tail.
+
+    The scale problem: a naive `explode -> groupBy(token)` shuffles one
+    row per DISTINCT (partition, token) — at 100 TB the near-unique
+    tail IS the data. Instead:
+
+    1. candidate generation, partition-local (mapInPandas): count
+       tokens per partition, emit only tokens with local_cnt * k_inv >=
+       local_total. Pigeonhole guarantees a SUPERSET of the true
+       hitters (if a token is below 1/k_inv in every partition, the sum
+       is below 1/k_inv globally), and at most k_inv candidates leave
+       each partition — a few KB per task regardless of data size.
+    2. exact recount of candidates only: semi-join the exploded tokens
+       against the broadcast candidate set, then groupBy — the shuffle
+       now carries <= |partitions| * k_inv distinct tokens.
+    3. integer cross-multiplied threshold (cnt * k_inv >= total_tokens)
+       — no float threshold, so the DuckDB twin compares identically.
+
+    Output: (token, cnt, share) for the true hitters only — step 1's
+    false positives are filtered by the exact recount, so the result is
+    exact, not approximate.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas ships pandas rows)
+
+    def local_candidates(pdfs):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        total = 0
+        for pdf in pdfs:
+            # split on the JAVA \s class (not Python's unicode-wide
+            # one) and drop empties — candidate tokens must equal the
+            # JVM recount's tokens or the superset guarantee breaks
+            toks = pdf[text_col].fillna("").str.split(r"[ \t\n\x0B\f\r]+")
+            for row in toks:
+                for t in row:
+                    if t:
+                        counts[t] += 1
+                        total += 1
+        cands = [t for t, c in counts.items() if c * k_inv >= total]
+        yield pd.DataFrame({"token": cands})
+
+    cands = (
+        df.select(text_col)
+        .mapInPandas(local_candidates, "token string")
+        .distinct()
+    )
+    toks = df.select(
+        F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    # total token count straight off the documents (no explode pass)
+    total = df.select(
+        F.sum(F.size(_tokens(F.col(text_col)))).cast("long").alias("_total")
+    )
+    counted = (
+        toks.join(F.broadcast(cands), "token", "semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k_inv >= F.col("_total"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
+def sql_heavy_hitters(k_inv: int = 50) -> str:
+    """DuckDB twin: exact frequent tokens by direct global count."""
+    toks = (
+        "SELECT unnest(list_filter(string_split_regex(trim(coalesce("
+        "text, '')), '\\s+'), x -> x <> '')) AS token FROM documents"
+    )
+    return f"""
+    WITH toks AS ({toks}),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+           round(COUNT(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+    FROM toks GROUP BY token
+    HAVING COUNT(*) * {k_inv} >= (SELECT n FROM tot)
+    """

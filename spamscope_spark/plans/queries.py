@@ -2570,3 +2570,12 @@ def q_event_pattern(spark, sf_dir):
         end_pred=F.col("event_type") == "error",
         within_s=_CEP_WITHIN_S,
     )
+
+
+@query("q_heavy_hitters", corpus.sql_heavy_hitters(k_inv=50))
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT frequent tokens (share >= 1/50 of all corpus tokens) via
+    partition-local candidate generation + broadcast-semi-join recount
+    — the shape that never shuffles the distinct-token long tail
+    (operators/corpus.py heavy_hitters)."""
+    return corpus.heavy_hitters(_t(spark, sf_dir, "documents"), k_inv=50)

@@ -984,3 +984,49 @@ class TestCepMatchSequence:
             ("a", _ts(0), 2, "E"),
         ]
         assert self._run(spark, rows) == {("a", 1, 2): (0, 0)}
+
+
+class TestHeavyHitters:
+    def test_matches_naive_groupby_on_skewed_partitions(self, spark):
+        from spamscope_spark.operators.corpus import heavy_hitters
+
+        # 8 partitions; token "rare-but-global" sits just above 1/k_inv
+        # GLOBALLY while being locally below it in most partitions —
+        # the pigeonhole superset must still surface it.
+        rows = []
+        for p in range(8):
+            common = " ".join(["filler%d" % (i % 40) for i in range(200)])
+            rows.append((p * 10, common))
+            # 5 occurrences per partition = 40 global; pad to make the
+            # local share small
+            rows.append((p * 10 + 1, " ".join(["needle"] * 5)))
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+        k_inv = 45  # needle: 40 / 1640 tokens = 2.44% >= 1/45
+        got = {
+            (r.token, r.cnt, r.share)
+            for r in heavy_hitters(df, k_inv=k_inv).collect()
+        }
+        toks = df.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        total = toks.count()
+        exp = {
+            (r.token, r.cnt, round(r.cnt / total, 6))
+            for r in toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") * k_inv >= total)
+            .collect()
+        }
+        assert ("needle", 40, round(40 / total, 6)) in exp
+        assert got == exp
+
+    def test_empty_and_null_text(self, spark):
+        from spamscope_spark.operators.corpus import heavy_hitters
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "   "), (3, "a a a b")],
+            "doc_id long, text string",
+        )
+        got = {(r.token, r.cnt) for r in heavy_hitters(df, k_inv=2).collect()}
+        assert got == {("a", 3)}
