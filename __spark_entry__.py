@@ -82,11 +82,16 @@ _GRADE_FIRST = [
     # analog, operators/cep.py) and exact heavy hitters (local
     # candidates + recount, operators/corpus.py)
     "q_event_pattern", "q_heavy_hitters",
-    # implementation or fixture touched this round — re-grade
+    # new in round 3: SemDeDup-style k-means-clustered near-dup
+    # (density-following candidate generation vs LSH banding)
+    "q_semantic_dedup",
+    # implementation or fixture touched this round — re-grade (the
+    # untouched, already-hash-green r02 queries q_phishing_score,
+    # q_rule_score, q_dialect_fingerprint, q_asof_join,
+    # q_time_band_join, q_tool_response_join moved to the tail to keep
+    # every never-graded query inside the 50-slot window)
     "q_turns_flagship", "q_media_features", "q_dedup_exact",
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
-    "q_phishing_score", "q_rule_score", "q_dialect_fingerprint",
-    "q_asof_join", "q_time_band_join", "q_tool_response_join",
     # new in round 3: bucketed co-located join and partition-pruned
     # layout (taking the slots of q_sessionize_events and
     # q_pricing_summary — both unchanged and already hash-green in

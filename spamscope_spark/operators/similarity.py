@@ -474,3 +474,65 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_cap: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    spherical k-means clusters the L2-NORMALIZED embeddings, then
+    pairwise cosine runs only WITHIN each cluster — the
+    density-following counterpart to embedding_neardup_pairs' LSH
+    candidate generation (random hyperplanes ignore where the data
+    actually concentrates; k-means follows it).
+
+    Normalizing first is what makes the cluster assignment a cosine
+    statement: on the unit sphere, squared L2 is 2 - 2·cos, so nearest
+    centroid in L2 = nearest in cosine, and an exact scale-copy maps to
+    the identical unit vector ⇒ the identical cluster — which is what
+    lets the planted-copy oracle certify recall exactly.
+
+    Scale shape: the model is n_clusters × dim floats on the driver
+    (train_ivf_centroids — train on a sample at 100 TB); assignment is
+    a narrow map; the only shuffle is the within-cluster equi-join.
+    `cluster_cap` drops clusters holding more than cap vectors (a
+    mega-cluster goes quadratic) via a broadcast anti-join — explicit,
+    never silent: count the dropped ids with the same predicate."""
+    unit = emb.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double") / norm(F.col(vec_col)),
+        ).alias("vec"),
+    )
+    centroids = train_ivf_centroids(
+        unit, n_list=n_clusters, n_iter=n_iter, seed=seed,
+        id_col="doc", vec_col="vec",
+    )
+    assigned = unit.select(
+        "doc", "vec", _nearest_lists(F.col("vec"), centroids, 1)[0].alias("cl")
+    )
+    if cluster_cap is not None:
+        oversized = (
+            assigned.groupBy("cl")
+            .count()
+            .where(F.col("count") > cluster_cap)
+            .select("cl")
+        )
+        assigned = assigned.join(F.broadcast(oversized), "cl", "left_anti")
+    a = assigned.select(F.col("doc").alias("id_a"), F.col("vec").alias("va"), "cl")
+    b = assigned.select(F.col("doc").alias("id_b"), F.col("vec").alias("vb"), "cl")
+    return (
+        a.join(b, "cl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1224,9 +1224,13 @@ SQL_PLANTED_EMB = f"""
 """
 
 
-@query(
-    "q_embedding_neardup",
-    f"""
+# Exact all-pairs cosine over the planted embeddings at the threshold —
+# the oracle for BOTH candidate-generation strategies (LSH-banded
+# q_embedding_neardup and k-means-clustered q_semantic_dedup): every
+# qualifying pair is a planted scale-copy with guaranteed candidate
+# collision under either strategy, so exact all-pairs is the provable
+# right answer for each.
+_SQL_NEARDUP_EXACT = f"""
     WITH planted AS ({SQL_PLANTED_EMB}),
     flat AS (
         SELECT vec_id AS vid,
@@ -1245,8 +1249,10 @@ SQL_PLANTED_EMB = f"""
     JOIN norms na ON na.vid = d.id_a
     JOIN norms nb ON nb.vid = d.id_b
     WHERE d.dp / (na.nrm * nb.nrm) >= {NEARDUP_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("q_embedding_neardup", _SQL_NEARDUP_EXACT)
 def q_embedding_neardup(spark, sf_dir):
     """embedding-cosine near-dup pairs within LSH buckets over the
     corpus + planted scaled copies (see planted_embeddings). Banded
@@ -2579,3 +2585,22 @@ def q_heavy_hitters(spark, sf_dir):
     — the shape that never shuffles the distinct-token long tail
     (operators/corpus.py heavy_hitters)."""
     return corpus.heavy_hitters(_t(spark, sf_dir, "documents"), k_inv=50)
+
+
+@query("q_semantic_dedup", _SQL_NEARDUP_EXACT)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: spherical k-means clusters the
+    L2-normalized corpus + planted scale-copies, pairwise cosine runs
+    only within clusters — density-following candidate generation vs
+    q_embedding_neardup's LSH banding, certified by the same exact
+    all-pairs oracle (a scale-copy normalizes to the identical unit
+    vector, hence the identical cluster, so planted recall is provably
+    1.0; see similarity.semantic_dedup_pairs)."""
+    emb = planted_embeddings(_t(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_clusters=8,
+        n_iter=2,
+        cluster_cap=100_000,
+    )

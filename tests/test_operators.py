@@ -512,6 +512,36 @@ class TestPlantedNeardups:
         for vid in range(25):
             assert (vid, vid + 1_000_000_000) in found, vid
 
+    def test_semantic_dedup_finds_scaled_copies(self, spark):
+        """Same planting through the k-means candidate path: a scaled
+        copy normalizes to the identical unit vector, so it must share
+        its source's cluster and surface with cosine 1.0."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        copies = emb.orderBy("vec_id").limit(25).select(
+            (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(3.0))
+            .cast("array<float>")
+            .alias("embedding"),
+            "label",
+        )
+        pairs = similarity.semantic_dedup_pairs(
+            emb.unionByName(copies), threshold=0.9, n_clusters=6, n_iter=2
+        ).collect()
+        found = {(r["id_a"], r["id_b"]): r["cos"] for r in pairs}
+        for vid in range(25):
+            assert found.get((vid, vid + 1_000_000_000)) == 1.0, vid
+
+    def test_semantic_dedup_cluster_cap_drops_explicitly(self, spark):
+        """cluster_cap=0 empties every cluster -> zero pairs (the cap
+        is a hard, auditable drop, not a silent truncation)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        assert (
+            similarity.semantic_dedup_pairs(
+                emb, threshold=0.0, n_clusters=4, n_iter=1, cluster_cap=0
+            ).count()
+            == 0
+        )
+
 
 class TestCorpus:
     def test_dup_clusters_transitive_chain(self, spark):
