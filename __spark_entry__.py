@@ -97,6 +97,11 @@ _GRADE_FIRST = [
     # q_pricing_summary — both unchanged and already hash-green in
     # r01 + r02 driver artifacts)
     "q_bucketed_join", "q_partition_pruned",
+    # new in round 3: GPT-style sequence packing, DSIR importance
+    # weights, and CCNet perplexity tiers (taking the slots of
+    # q_top_customers and q_region_rollup — hash-green in r01 + r02 —
+    # and the window's one previously-unpinned slot)
+    "q_seq_packing", "q_dsir_weights", "q_ccnet_buckets",
 ]
 
 

@@ -1050,3 +1050,304 @@ def sql_heavy_hitters(k_inv: int = 50) -> str:
     FROM toks GROUP BY token
     HAVING COUNT(*) * {k_inv} >= (SELECT n FROM tot)
     """
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (token-offset assignment)
+# ---------------------------------------------------------------------------
+
+
+def seq_packing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    ctx: int = 512,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """GPT-style pre-training sequence assignment: documents are
+    concatenated (in deterministic id order) into one token stream per
+    (`group_col`, bucket) stratum, and the stream is cut into
+    fixed-`ctx`-token training sequences; each doc reports which
+    sequences its tokens land in (docs SPAN sequence boundaries — the
+    concat-and-split regime, unlike `pack_shards`' greedy whole-doc
+    bins). Emits per doc: its stream offset, first/last sequence index,
+    how many sequences it spans, and its offset inside the first
+    sequence — exactly what a sequence-loader needs to locate any doc.
+
+    Scale: same stratification as `pack_shards` — the prefix sum is a
+    window over (source, id-mod-bucket), parallelism n_sources ×
+    n_buckets, never a global ORDER BY. Token counting and all derived
+    columns are codegen'd expressions; the window shuffle on the short
+    (source, bucket, id, n_tokens) projection is the only exchange.
+
+    Reference analog: the spout's deterministic (priority, ctime)
+    ordering of work items (src/spouts/files_mails.py:96-104) recast as
+    the reproducible global order a training-data loader needs."""
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).cast("long")
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int")
+    w = (
+        Window.partitionBy(group_col, "bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    first_seq = F.floor(start / F.lit(ctx))
+    last_seq = F.floor((start + F.col("n_tokens") - 1) / F.lit(ctx))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            toks.alias("n_tokens"),
+            bucket.alias("bucket"),
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            "bucket",
+            start.alias("tok_start"),
+            first_seq.alias("first_seq"),
+            last_seq.alias("last_seq"),
+            (last_seq - first_seq + 1).alias("n_seqs"),
+            F.pmod(start, F.lit(ctx)).alias("offset_in_seq"),
+            F.concat_ws("/", F.col(group_col), F.col("bucket"), first_seq).alias(
+                "seq_id"
+            ),
+        )
+    )
+
+
+def sql_seq_packing(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    ctx: int = 512,
+    n_buckets: int = 16,
+) -> str:
+    toks = (
+        f"CAST(len(string_split_regex(trim(coalesce({text_col}, '')),"
+        f" '\\s+')) AS BIGINT)"
+    )
+    start = (
+        f"(SUM(n_tokens) OVER (PARTITION BY {group_col}, bucket"
+        f" ORDER BY {id_col} ROWS UNBOUNDED PRECEDING) - n_tokens)"
+    )
+    return f"""
+    WITH t AS (
+        SELECT {id_col}, {group_col}, {toks} AS n_tokens,
+               CAST({id_col} % {n_buckets} AS INTEGER) AS bucket
+        FROM {table}
+    ), o AS (
+        SELECT {id_col}, {group_col}, n_tokens, bucket,
+               {start} AS tok_start
+        FROM t
+    )
+    SELECT {id_col}, {group_col}, n_tokens, bucket, tok_start,
+        CAST(floor(tok_start / {ctx}) AS BIGINT) AS first_seq,
+        CAST(floor((tok_start + n_tokens - 1) / {ctx}) AS BIGINT) AS last_seq,
+        CAST(floor((tok_start + n_tokens - 1) / {ctx})
+             - floor(tok_start / {ctx}) + 1 AS BIGINT) AS n_seqs,
+        tok_start % {ctx} AS offset_in_seq,
+        {group_col} || '/' || CAST(bucket AS VARCHAR) || '/'
+            || CAST(CAST(floor(tok_start / {ctx}) AS BIGINT) AS VARCHAR)
+            AS seq_id
+    FROM o
+    """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed-unigram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every corpus document by how much it looks
+    like a small TARGET domain, using hashed-unigram bag features —
+    weight(d) = mean over tokens of ln(p_target(bucket) /
+    p_corpus(bucket)), add-one smoothed. High scorers are
+    target-domain-like and survive importance resampling.
+
+    Shape (100 TB): both distributions are D-row aggregates (D =
+    HASH_DIM buckets, textstats.token_bucket md5 hashing — identical in
+    the SQL twin); the log-ratio model is a D-row broadcast join; the
+    corpus pays one partition-local tokenize+explode pre-aggregated to
+    per-(doc, bucket) counts, and one groupBy on the doc id. The target
+    set is small by construction (a benchmark / curated domain sample).
+    No Python, no driver-side model, nothing quadratic."""
+    from ..functions.textstats import HASH_DIM, token_bucket
+
+    def bucketize(df: DataFrame, *keep: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+            lambda x: x != "",
+        )
+        return df.select(*keep, F.explode(toks).alias("tok")).select(
+            *keep, token_bucket(F.col("tok")).alias("bucket")
+        )
+
+    spark = corpus.sparkSession
+    spine = spark.range(HASH_DIM).select(F.col("id").cast("int").alias("bucket"))
+    t_counts = bucketize(target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    s_counts = bucketize(corpus).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    full = (
+        spine.join(t_counts, on="bucket", how="left")
+        .join(s_counts, on="bucket", how="left")
+        .select(
+            "bucket",
+            F.coalesce("n_t", F.lit(0)).alias("n_t"),
+            F.coalesce("n_s", F.lit(0)).alias("n_s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # D rows post-agg — not a corpus-wide window
+    model = full.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("n_t") + 1).cast("double")
+                / (F.sum("n_t").over(w) + F.lit(HASH_DIM))
+            )
+            - F.log(
+                (F.col("n_s") + 1).cast("double")
+                / (F.sum("n_s").over(w) + F.lit(HASH_DIM))
+            )
+        ).alias("lr"),
+    )
+    doc_b = bucketize(corpus, id_col).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_db")
+    )
+    return (
+        doc_b.join(F.broadcast(model), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("n_db") * F.col("lr")) / F.sum("n_db"), 6).alias(
+                "dsir_logweight"
+            ),
+            F.sum("n_db").alias("n_tok"),
+        )
+    )
+
+
+def sql_dsir_weights(
+    corpus_sql: str,
+    target_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from ..functions.textstats import HASH_DIM
+
+    def toks(src: str, keep: str) -> str:
+        t = (
+            f"list_filter(string_split_regex(trim(lower(coalesce({text_col},"
+            f" ''))), '\\s+'), x -> x <> '')"
+        )
+        return (
+            f"SELECT {keep} CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER)"
+            f" % {HASH_DIM} AS bucket"
+            f" FROM (SELECT *, unnest({t}) AS tok FROM ({src}))"
+        )
+
+    return f"""
+    WITH spine AS (
+        SELECT CAST(range AS INTEGER) AS bucket FROM range({HASH_DIM})
+    ), tb AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM ({toks(target_sql, '')}) GROUP BY bucket
+    ), sb AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM ({toks(corpus_sql, '')}) GROUP BY bucket
+    ), full_t AS (
+        SELECT s.bucket, coalesce(n_t, 0) AS n_t, coalesce(n_s, 0) AS n_s
+        FROM spine s LEFT JOIN tb USING (bucket) LEFT JOIN sb USING (bucket)
+    ), model AS (
+        SELECT bucket,
+            ln(CAST(n_t + 1 AS DOUBLE) / (SUM(n_t) OVER () + {HASH_DIM}))
+          - ln(CAST(n_s + 1 AS DOUBLE) / (SUM(n_s) OVER () + {HASH_DIM})) AS lr
+        FROM full_t
+    ), doc_b AS (
+        SELECT {id_col}, bucket, CAST(COUNT(*) AS BIGINT) AS n_db
+        FROM ({toks(corpus_sql, f'{id_col},')}) GROUP BY {id_col}, bucket
+    )
+    SELECT d.{id_col},
+           round(SUM(d.n_db * m.lr) / SUM(d.n_db), 6) AS dsir_logweight,
+           SUM(d.n_db) AS n_tok
+    FROM doc_b d JOIN model m USING (bucket)
+    GROUP BY d.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+_PPL_LO = repr(1 / 3)  # exact double literals — Spark and DuckDB must
+_PPL_HI = repr(2 / 3)  # interpolate at bit-identical fractions
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style quality tiers (Wenzek et al. 2020, arXiv:1911.00359):
+    score every doc under the corpus's own bigram LM (`bigram_logprob`),
+    then cut the corpus into head / middle / tail at the tercile
+    boundaries of the score distribution — the standard coarse quality
+    split pre-training mixtures are built from.
+
+    Shape: the LM scoring is `bigram_logprob`'s one-exchange plan; the
+    cutoffs are ONE exact-percentile aggregate row (distributed sort-
+    based percentile, no driver collect) broadcast back over the scored
+    docs. Rounded scores feed the percentile on both engines, so the
+    cutoffs and the tier comparisons are bit-identical."""
+    scores = bigram_logprob(df, id_col=id_col, text_col=text_col)
+    cuts = scores.agg(
+        F.percentile("bigram_logprob", F.lit(1 / 3)).alias("c1"),
+        F.percentile("bigram_logprob", F.lit(2 / 3)).alias("c2"),
+    )
+    tier = (
+        F.when(F.col("bigram_logprob") >= F.col("c2"), F.lit("head"))
+        .when(F.col("bigram_logprob") >= F.col("c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        id_col, "bigram_logprob", tier.alias("ppl_bucket")
+    )
+
+
+def sql_ccnet_buckets(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    lm = sql_bigram_logprob(table, id_col=id_col, text_col=text_col)
+    return f"""
+    WITH scores AS ({lm}),
+    cuts AS (
+        SELECT quantile_cont(CAST(bigram_logprob AS DOUBLE), {_PPL_LO}) AS c1,
+               quantile_cont(CAST(bigram_logprob AS DOUBLE), {_PPL_HI}) AS c2
+        FROM scores
+    )
+    SELECT s.{id_col}, s.bigram_logprob,
+        CASE WHEN s.bigram_logprob >= c.c2 THEN 'head'
+             WHEN s.bigram_logprob >= c.c1 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+    FROM scores s CROSS JOIN cuts c
+    """

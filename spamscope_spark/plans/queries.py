@@ -2604,3 +2604,53 @@ def q_semantic_dedup(spark, sf_dir):
         n_iter=2,
         cluster_cap=100_000,
     )
+
+
+@query(
+    "q_seq_packing",
+    corpus.sql_seq_packing("documents", ctx=256),
+)
+def q_seq_packing(spark, sf_dir):
+    """GPT-style training-sequence assignment: docs concatenated per
+    (source, id-bucket) stratum, token stream cut at ctx=256; per-doc
+    stream offset + first/last sequence + span. The concat-and-split
+    regime (docs cross sequence boundaries), vs q_shard_packing's
+    greedy whole-doc bins. Window over (source, bucket) — parallel
+    across strata, never a global ORDER BY."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.seq_packing(d, ctx=256)
+
+
+_DSIR_TARGET_PRED = "lang = 'en' AND doc_id % 5 = 0"
+
+
+@query(
+    "q_dsir_weights",
+    corpus.sql_dsir_weights(
+        "SELECT doc_id, text FROM documents",
+        f"SELECT text FROM documents WHERE {_DSIR_TARGET_PRED}",
+    ),
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio of a small target domain vs the corpus —
+    the model-based data-selection score. D-row broadcast model;
+    corpus pays one tokenize+explode and one doc-id groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.dsir_weights(
+        d.select("doc_id", "text"),
+        d.where(F.expr(_DSIR_TARGET_PRED)).select("text"),
+    )
+
+
+@query(
+    "q_ccnet_buckets",
+    corpus.sql_ccnet_buckets("documents"),
+)
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality tiers: corpus-trained bigram-LM
+    score cut at exact tercile boundaries — one percentile aggregate
+    row broadcast back over the scored docs (no global sort of the
+    corpus, no driver collect)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.ccnet_buckets(d)

@@ -1060,3 +1060,184 @@ class TestHeavyHitters:
         )
         got = {(r.token, r.cnt) for r in heavy_hitters(df, k_inv=2).collect()}
         assert got == {("a", 3)}
+
+
+class TestSeqPacking:
+    def test_offsets_and_spans_hand_computed(self, spark):
+        # one stratum, tokens 3,3,3, ctx=4: stream offsets 0,3,6 —
+        # doc 2 and doc 3 each span a sequence boundary
+        df = spark.createDataFrame(
+            [(1, "a b c", "s"), (2, "d e f", "s"), (3, "g h i", "s")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["doc_id"]: (
+                r["tok_start"], r["first_seq"], r["last_seq"],
+                r["n_seqs"], r["offset_in_seq"], r["seq_id"],
+            )
+            for r in corpus.seq_packing(df, ctx=4, n_buckets=1).collect()
+        }
+        assert out[1] == (0, 0, 0, 1, 0, "s/0/0")
+        assert out[2] == (3, 0, 1, 2, 3, "s/0/0")
+        assert out[3] == (6, 1, 2, 2, 2, "s/0/1")
+
+    def test_stream_is_gapless_per_stratum(self, spark):
+        # within every (source, bucket) stratum the doc offsets tile the
+        # token stream exactly: next start == previous start + n_tokens
+        df = spark.createDataFrame(
+            [(i, "w " * (i % 7 + 1), "src" + str(i % 2)) for i in range(40)],
+            "doc_id long, text string, source string",
+        )
+        rows = corpus.seq_packing(df, ctx=8, n_buckets=4).collect()
+        strata: dict = {}
+        for r in rows:
+            strata.setdefault((r["source"], r["bucket"]), []).append(r)
+        assert len(strata) > 1
+        for docs in strata.values():
+            docs.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in docs:
+                assert r["tok_start"] == cum
+                assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+                cum += r["n_tokens"]
+
+    def test_deterministic_across_partitionings(self, spark):
+        df = spark.createDataFrame(
+            [(i, "tok " * (i % 5 + 1), "s") for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        a = {
+            (r["doc_id"], r["seq_id"], r["tok_start"])
+            for r in corpus.seq_packing(df, ctx=16).collect()
+        }
+        b = {
+            (r["doc_id"], r["seq_id"], r["tok_start"])
+            for r in corpus.seq_packing(
+                df.repartition(7, F.col("text")), ctx=16
+            ).collect()
+        }
+        assert a == b
+
+
+class TestDsirWeights:
+    def _py_reference(self, corpus_docs, target_docs):
+        """Plain-Python DSIR twin: same md5 bucketing, add-one smoothing."""
+        import hashlib
+        from collections import Counter
+
+        from spamscope_spark.functions.textstats import HASH_DIM
+
+        def bucket(tok: str) -> int:
+            return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % HASH_DIM
+
+        def toks(text: str) -> list[str]:
+            return [w for w in text.strip().lower().split() if w]
+
+        n_t: Counter = Counter()
+        for t in target_docs:
+            n_t.update(bucket(w) for w in toks(t))
+        n_s: Counter = Counter()
+        for _, t in corpus_docs:
+            n_s.update(bucket(w) for w in toks(t))
+        import math
+
+        T, S = sum(n_t.values()), sum(n_s.values())
+        lr = {
+            b: math.log((n_t.get(b, 0) + 1) / (T + HASH_DIM))
+            - math.log((n_s.get(b, 0) + 1) / (S + HASH_DIM))
+            for b in range(HASH_DIM)
+        }
+        out = {}
+        for doc_id, t in corpus_docs:
+            ws = toks(t)
+            if ws:
+                out[doc_id] = round(sum(lr[bucket(w)] for w in ws) / len(ws), 6)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        corpus_docs = [
+            (1, "alpha beta gamma alpha"),
+            (2, "delta epsilon zeta"),
+            (3, "alpha alpha beta"),
+            (4, "eta theta iota kappa"),
+        ]
+        target_docs = ["alpha beta", "alpha gamma beta"]
+        df = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+        tgt = spark.createDataFrame([(t,) for t in target_docs], "text string")
+        got = {
+            r["doc_id"]: r["dsir_logweight"]
+            for r in corpus.dsir_weights(df, tgt).collect()
+        }
+        exp = self._py_reference(corpus_docs, target_docs)
+        assert got == exp
+
+    def test_target_like_docs_score_higher(self, spark):
+        # docs built from the target's vocabulary must out-score docs
+        # from disjoint vocabulary
+        corpus_docs = [(i, "alpha beta gamma") for i in range(1, 4)] + [
+            (i, "xray yankee zulu") for i in range(4, 7)
+        ]
+        df = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+        tgt = spark.createDataFrame(
+            [("alpha beta",), ("beta gamma alpha",)], "text string"
+        )
+        got = {
+            r["doc_id"]: r["dsir_logweight"]
+            for r in corpus.dsir_weights(df, tgt).collect()
+        }
+        assert min(got[i] for i in (1, 2, 3)) > max(got[i] for i in (4, 5, 6))
+
+    def test_model_join_is_broadcast(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "c d")], "doc_id long, text string"
+        )
+        tgt = spark.createDataFrame([("a",)], "text string")
+        plan = (
+            corpus.dsir_weights(df, tgt)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestCcnetBuckets:
+    def test_tiers_follow_score_order(self, spark):
+        # 9 docs with clearly separated bigram scores: repeated-bigram
+        # docs score high (their bigrams dominate the corpus model),
+        # unique-word-chain docs score low
+        rows = (
+            [(i, "good flow " * 8) for i in range(3)]
+            + [(i, "mid tier text with some shared flow words") for i in range(3, 6)]
+            + [
+                (6, "q w e r t y u i o p"),
+                (7, "z x c v b n m k j h"),
+                (8, "one two three four five six seven"),
+            ]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = corpus.ccnet_buckets(df).collect()
+        assert len(out) == 9
+        by_score = sorted(out, key=lambda r: r["bigram_logprob"])
+        tiers = [r["ppl_bucket"] for r in by_score]
+        # tiers are monotone in score: tail <= middle <= head
+        order = {"tail": 0, "middle": 1, "head": 2}
+        assert all(
+            order[tiers[i]] <= order[tiers[i + 1]] for i in range(len(tiers) - 1)
+        )
+        assert {"head", "middle", "tail"} == set(tiers)
+
+    def test_cutoff_join_is_broadcast_not_sort(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        plan = (
+            corpus.ccnet_buckets(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # the corpus itself is never globally sorted for the tier cut
+        assert "Sort [bigram_logprob" not in plan
