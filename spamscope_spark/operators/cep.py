@@ -162,3 +162,108 @@ def sql_match_sequence(
       AND e.start_rn > COALESCE(e.brk_rn, 0)
       AND epoch_us(e.{ts}) - epoch_us(s.{ts}) <= {within_s * 1_000_000}
     """
+
+
+# ---------------------------------------------------------------------------
+# Burst detection: windowed rate z-score
+# ---------------------------------------------------------------------------
+
+
+def rate_anomaly(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    bucket: str = "hour",
+    lookback: int = 6,
+    min_history: int = 4,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Flag event-rate bursts: per key, bucket events into tumbling
+    time windows, then score each window's count against the trailing
+    ``lookback`` windows' mean/std and keep rows with z >= threshold —
+    the spam-campaign/surge detector a mail-flow analyst runs on the
+    indexed output (the CEP complement of match_sequence's ordered
+    patterns).
+
+    Determinism across engines: the trailing mean and variance are
+    computed FROM EXACT INTEGER SUMS (sum of counts and sum of squared
+    counts over the frame — both exact in int64), via
+    var = (sum_sq - sum^2/n) / (n-1) written as the same expression
+    tree on both sides, rather than each engine's builtin stddev
+    (whose streaming algorithms differ in the last ulp). The z-score is
+    rounded to 4dp and the threshold compares the ROUNDED value, so the
+    keep/drop decision is identical in Spark and DuckDB.
+
+    Scale shape: one shuffle for the (key, window) count, one window
+    pass per key ordered by time — no self-join, no expansion. Empty
+    buckets are absent (not zero) on both sides; "trailing windows"
+    means trailing OBSERVED windows, documented semantics.
+    """
+    cnt = df.groupBy(
+        F.date_trunc(bucket, F.col(ts)).alias("window_start"),
+        F.col(key),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("window_start")
+        .rowsBetween(-lookback, -1)
+    )
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    m = F.count(F.lit(1)).over(w)
+    mean = s1 / m
+    var = (s2 - s1 * s1 / m) / (m - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    # zero-variance history guard as an EXACT integer predicate
+    # (n*sum_sq > sum^2): engines disagree on double x/0 (Spark → NULL,
+    # DuckDB → inf), so the division must never be reached on both sides.
+    out = (
+        cnt.withColumn("var_num", m * s2 - s1 * s1)
+        .withColumn("n_prev", m)
+        .withColumn("mean_prev", F.round(mean, 4))
+        .withColumn("z", F.round(z, 4))
+        .where(
+            (F.col("n_prev") >= min_history)
+            & (F.col("var_num") > 0)
+            & (F.col("z") >= F.lit(z_threshold))
+        )
+    )
+    return out.select(key, "window_start", "n", "n_prev", "mean_prev", "z")
+
+
+def sql_rate_anomaly(
+    table: str,
+    key: str,
+    ts: str,
+    bucket: str = "hour",
+    lookback: int = 6,
+    min_history: int = 4,
+    z_threshold: float = 2.0,
+) -> str:
+    """DuckDB twin of rate_anomaly — same exact-integer-sum variance."""
+    return f"""
+    WITH cnt AS (
+        SELECT date_trunc('{bucket}', {ts}) AS window_start, {key},
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1, 2
+    ), stats AS (
+        SELECT *,
+            SUM(n) OVER w AS s1,
+            SUM(n * n) OVER w AS s2,
+            CAST(COUNT(*) OVER w AS BIGINT) AS n_prev
+        FROM cnt
+        WINDOW w AS (PARTITION BY {key} ORDER BY window_start
+                     ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT {key}, window_start, n, n_prev,
+        round(s1 / CAST(n_prev AS DOUBLE), 4) AS mean_prev,
+        round((n - s1 / CAST(n_prev AS DOUBLE))
+              / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n_prev)
+                     / (n_prev - 1)), 4) AS z
+    FROM stats
+    WHERE n_prev >= {min_history}
+      AND n_prev * s2 - s1 * s1 > 0
+      AND round((n - s1 / CAST(n_prev AS DOUBLE))
+                / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n_prev)
+                       / (n_prev - 1)), 4) >= {z_threshold}
+    """

@@ -130,11 +130,10 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int]:
     return vals[0], vals[1], vals[2], i + 1  # exactly one whitespace after maxval
 
 
-def decode_image(payload: bytes) -> dict:
-    """Parse a BMP (24bpp BI_RGB) or binary PPM (P6) payload; returns
-    {fmt, width, height, mean_r, mean_g, mean_b}. Raises ValueError on
-    any other/malformed format — callers that want the stub path for
-    non-image media dispatch on media_type first."""
+def _decode_pixels(payload: bytes) -> tuple[str, np.ndarray]:
+    """Parse a BMP (24bpp BI_RGB) or binary PPM (P6) payload to
+    (fmt, (h, w, 3) uint8 RGB array, top-down row order). Raises
+    ValueError on any other/malformed format."""
     if payload[:2] == b"BM":
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
@@ -161,6 +160,16 @@ def decode_image(payload: bytes) -> dict:
         fmt = "ppm"
     else:
         raise ValueError("unrecognized image format")
+    return fmt, px
+
+
+def decode_image(payload: bytes) -> dict:
+    """Parse a BMP (24bpp BI_RGB) or binary PPM (P6) payload; returns
+    {fmt, width, height, mean_r, mean_g, mean_b}. Raises ValueError on
+    any other/malformed format — callers that want the stub path for
+    non-image media dispatch on media_type first."""
+    fmt, px = _decode_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
     means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
     return {
         "fmt": fmt,
@@ -269,3 +278,111 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample: nearest-neighbor downsample over decoded pixels
+# ---------------------------------------------------------------------------
+
+GRADIENT_DIMS = ("4 + {d} % 5", "3 + {d} % 4")  # (w, h) formulas, shared w/ oracle
+# Channel value at (x=col, y=row) for doc d — pure integer arithmetic so
+# an oracle can predict any sampled pixel without seeing the bytes.
+GRADIENT_CHANNELS = (
+    "({d} + 3 * {x} + 5 * {y}) % 256",
+    "(7 * {d} + 11 * {x} + 2 * {y} + 13) % 256",
+    "(31 * {d} + {x} + 7 * {y} + 101) % 256",
+)
+
+
+def synthesize_gradient_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gradient image fixtures (vs synthesize_image_payloads' solid
+    colors): every pixel differs, so a resize that samples the wrong
+    grid cell — or a BMP decode that forgets the bottom-up row flip —
+    produces detectably wrong channel means. Even ids → BMP (padded
+    rows at w=5,7), odd → PPM."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                d = int(i)
+                w, h = 4 + d % 5, 3 + d % 4
+                y, x = np.indices((h, w))
+                px = np.stack(
+                    [
+                        (d + 3 * x + 5 * y) % 256,
+                        (7 * d + 11 * x + 2 * y + 13) % 256,
+                        (31 * d + x + 7 * y + 101) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_bmp(px) if d % 2 == 0 else encode_ppm(px, comment="grad")
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        fn,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+
+
+IMAGE_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("fmt", StringType(), True),
+        StructField("src_w", IntegerType(), True),
+        StructField("src_h", IntegerType(), True),
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_w: int = 2,
+    out_h: int = 2,
+) -> DataFrame:
+    """Decode → nearest-neighbor resize (src index = floor(out_index *
+    src_dim / out_dim), the standard frame-sample grid — for video this
+    is exactly frame sampling along t instead of y) → per-channel means
+    of the RESIZED image. mapInPandas, Arrow-batched, partition-
+    preserving: at 100 TB the cost is one pass over payload bytes, no
+    shuffle. Corrupt payloads yield null columns, never a failed batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_RESIZE_SCHEMA.fields}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(i)
+                try:
+                    fmt, px = _decode_pixels(bytes(p) if p is not None else b"")
+                    h, w = px.shape[0], px.shape[1]
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    small = px[ys][:, xs]
+                    means = small.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                    row = dict(
+                        fmt=fmt, src_w=w, src_h=h, out_w=out_w, out_h=out_h,
+                        mean_r=float(means[0]), mean_g=float(means[1]),
+                        mean_b=float(means[2]),
+                    )
+                except ValueError:
+                    row = {}
+                for k in ("fmt", "src_w", "src_h", "out_w", "out_h",
+                          "mean_r", "mean_g", "mean_b"):
+                    out[k].append(row.get(k))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=IMAGE_RESIZE_SCHEMA)

@@ -1,0 +1,178 @@
+"""Full-text search scoring: BM25 top-k over a document corpus.
+
+The reference's output sink is Elasticsearch (src/bolts/
+output_elasticsearch.py:30-107) — mails are indexed *so that analysts
+can run relevance-ranked full-text queries over them*. This module
+supplies that query path natively: an inverted-postings BM25 ranker
+built entirely from DataFrame aggregations, so the "switch to this
+repo" user keeps the search capability without the external cluster.
+
+Formula (Lucene/Okapi):
+    idf(t)     = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q,d) = sum_{t in q} idf(t) * tf * (k1+1)
+                              / (tf + k1 * (1 - b + b * dl/avgdl))
+with avgdl = total_tokens / N over the whole corpus.
+
+Scale shape (the 100 TB story):
+- one explode over text → token stream; the postings that survive past
+  the first join are only those matching a **broadcast** query-term
+  dimension (a search workload has O(10-1000) distinct terms vs O(10^9)
+  corpus terms — the filter drops ~everything map-side, before any wide
+  shuffle);
+- doc length and corpus totals are partial-aggregated map-side; the
+  corpus-level constants (N, total token count) travel as a broadcast
+  1-row aggregate, never a driver action;
+- per-term doc frequencies are an aggregate over the already-filtered
+  postings (rows ≤ |terms| × docs-containing-term), broadcast back;
+- final ranking is a per-query row_number window — bounded by k, never
+  a global sort.
+
+Determinism note: each query here carries ≤ 2 terms, so the per-doc
+score sum is a single IEEE addition — commutative, hence bit-identical
+between Spark and the DuckDB oracle regardless of aggregation order.
+(With wider queries, round per-term contributions before summing or
+accept last-ulp risk at the round-to-4dp boundary.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+__all__ = ["bm25_topk", "sql_bm25_topk"]
+
+
+def _tokens(text_col: str) -> F.Column:
+    """Whitespace tokens, lowercased — the same tokenizer as tf-idf
+    (operators/corpus.py::tfidf_topk) so term statistics agree across
+    the corpus suite."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    query_terms: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query by BM25. ``query_terms`` is a list of
+    (query_id, term) rows — the tiny broadcast dimension. Returns
+    (query_id, doc_id, score, rank) with score rounded to 4dp (the
+    rounded value also orders the ranking so ties are engine-stable).
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+
+    # corpus constants: one broadcast row (N docs, total tokens, avgdl)
+    glob = (
+        df.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(toks.agg(F.count(F.lit(1)).alias("total_toks")))
+        .withColumn("avgdl", F.col("total_toks") / F.col("n_docs"))
+    )
+
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+
+    qt = spark.createDataFrame(query_terms, "query_id string, term string")
+    # broadcast semi-filter: only postings for searched terms survive
+    tf = (
+        toks.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+        / (F.col("df_docs") + F.lit(0.5))
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(glob))
+        .withColumn("term_score", idf * norm)
+    )
+    scored = (
+        per_term.join(F.broadcast(qt), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def sql_bm25_topk(
+    table: str,
+    query_terms: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin — identical formula and tie-break."""
+    values = ", ".join(
+        f"('{q}', '{t}')" for q, t in query_terms
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(list_filter(string_split_regex(
+            lower(trim(coalesce({text_expr}, ''))), '\\s+'), x -> x <> ''))
+            AS term
+        FROM {table}
+    ), cstats AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS total_toks,
+               CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM {table}) AS avgdl
+        FROM toks
+    ), dl AS (
+        SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM toks GROUP BY {id_col}
+    ), qt(query_id, term) AS (VALUES {values}),
+    tf AS (
+        SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks
+        WHERE term IN (SELECT DISTINCT term FROM qt)
+        GROUP BY {id_col}, term
+    ), dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs
+        FROM tf GROUP BY term
+    ), per_term AS (
+        SELECT tf.{id_col}, tf.term,
+            ln(1.0 + (cstats.n_docs - dfreq.df_docs + 0.5)
+                     / (dfreq.df_docs + 0.5))
+            * tf.tf * ({k1} + 1)
+            / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / cstats.avgdl))
+                AS term_score
+        FROM tf
+        JOIN dl USING ({id_col})
+        JOIN dfreq USING (term)
+        CROSS JOIN cstats
+    ), scored AS (
+        SELECT qt.query_id, per_term.{id_col},
+            round(SUM(per_term.term_score), 4) AS score
+        FROM per_term JOIN qt USING (term)
+        GROUP BY 1, 2
+    )
+    SELECT query_id, {id_col}, score, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, {id_col} ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -25,7 +25,7 @@ from ..datagen import SUBJECT_KEYS, TARGET_KEYS, WHITELIST_DOMAINS, generate_tur
 from ..functions import textstats
 from ..functions.keywords import matched_targets, search_words, sql_search_words
 from ..functions.urls import RE_URL, extract_url_strings
-from ..operators import cep, corpus, dedup, joins, sessionize, similarity, skew
+from ..operators import cep, corpus, dedup, joins, search, sessionize, similarity, skew
 from ..operators.enrich import enrich_turns
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..oracle import PHISHING_BITMAP
@@ -2654,3 +2654,97 @@ def q_ccnet_buckets(spark, sf_dir):
     corpus, no driver collect)."""
     d = _t(spark, sf_dir, "documents")
     return corpus.ccnet_buckets(d)
+
+
+# ===========================================================================
+# Round-3 additions: BM25 search, rate-burst anomaly, image resize
+# ===========================================================================
+
+# The ES-analyst search workload: two-term queries mixing high-df corpus
+# vocabulary with the injected low-df phishing terms (idf contrast).
+# Two terms per query keeps the score sum a single IEEE addition —
+# bit-identical across engines (see operators/search.py determinism
+# note).
+BM25_QUERY_TERMS = [
+    ("q_spark_window", "spark"), ("q_spark_window", "window"),
+    ("q_customer_merge", "customer"), ("q_customer_merge", "merge"),
+    ("q_payment_alert", "payment"), ("q_payment_alert", "hampton"),
+]
+
+
+@query(
+    "q_bm25_search",
+    search.sql_bm25_topk(
+        f"(SELECT doc_id, {SQL_DERIVED_TEXT} AS text FROM documents) AS docs",
+        BM25_QUERY_TERMS,
+        k=10,
+    ),
+)
+def q_bm25_search(spark, sf_dir):
+    """BM25 relevance top-10 per query — the native replacement for the
+    reference's Elasticsearch search path (docs are indexed to ES
+    precisely so analysts can run ranked queries; output_elasticsearch
+    .py:30-107). Broadcast query-term dimension filters the postings
+    explode map-side; corpus constants travel as a 1-row broadcast;
+    ranking is a bounded per-query window."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", derived_text().alias("text")
+    )
+    return search.bm25_topk(spark, d, BM25_QUERY_TERMS, k=10)
+
+
+@query(
+    "q_rate_anomaly",
+    cep.sql_rate_anomaly("events", "event_type", "ts"),
+)
+def q_rate_anomaly(spark, sf_dir):
+    """Event-rate burst detection: per event_type, hourly counts scored
+    against the trailing-6-window mean/std (z >= 2) — the
+    spam-campaign surge detector, CEP complement of q_event_pattern's
+    ordered patterns. Variance is computed from exact integer sums so
+    the Spark and DuckDB keep/drop decisions are bit-identical
+    (operators/cep.py::rate_anomaly)."""
+    e = _t(spark, sf_dir, "events")
+    return cep.rate_anomaly(e, "event_type", "ts")
+
+
+@query(
+    "q_media_resize",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+            CAST(4 + doc_id % 5 AS INTEGER) AS src_w,
+            CAST(3 + doc_id % 4 AS INTEGER) AS src_h
+        FROM documents
+    ), grid AS (
+        SELECT d.*, xo.x AS xo, yo.y AS yo,
+            CAST(xo.x * d.src_w // 2 AS BIGINT) AS sx,
+            CAST(yo.y * d.src_h // 2 AS BIGINT) AS sy
+        FROM dims d
+        CROSS JOIN (SELECT unnest(range(2)) AS x) xo
+        CROSS JOIN (SELECT unnest(range(2)) AS y) yo
+    )
+    SELECT doc_id, fmt, src_w, src_h,
+        CAST(2 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
+        AVG(CAST((doc_id + 3 * sx + 5 * sy) % 256 AS DOUBLE)) AS mean_r,
+        AVG(CAST((7 * doc_id + 11 * sx + 2 * sy + 13) % 256 AS DOUBLE))
+            AS mean_g,
+        AVG(CAST((31 * doc_id + sx + 7 * sy + 101) % 256 AS DOUBLE))
+            AS mean_b
+    FROM grid
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_media_resize(spark, sf_dir):
+    """Image resize / frame-sample over binary payloads: gradient
+    BMP/PPM fixtures (every pixel distinct) → from-scratch decode →
+    nearest-neighbor 2x2 downsample → channel means of the RESIZED
+    pixels. The oracle recomputes the sampled grid arithmetically from
+    the gradient formula without seeing the bytes — a wrong sampling
+    grid, rounding mode, BGR order, or bottom-up flip breaks the hash
+    (solid-color fixtures could not detect any of those)."""
+    from ..operators.multimodal import resize_images, synthesize_gradient_payloads
+
+    d = synthesize_gradient_payloads(_t(spark, sf_dir, "documents"), "doc_id")
+    return resize_images(d, "doc_id", "payload", out_w=2, out_h=2)
