@@ -85,13 +85,25 @@ _GRADE_FIRST = [
     # new in round 3: SemDeDup-style k-means-clustered near-dup
     # (density-following candidate generation vs LSH banding)
     "q_semantic_dedup",
-    # implementation or fixture touched this round — re-grade (the
-    # untouched, already-hash-green r02 queries q_phishing_score,
-    # q_rule_score, q_dialect_fingerprint, q_asof_join,
-    # q_time_band_join, q_tool_response_join moved to the tail to keep
-    # every never-graded query inside the 50-slot window)
-    "q_turns_flagship", "q_media_features", "q_dedup_exact",
-    "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
+    # new in round 3: BM25 full-text ranking (the Elasticsearch-analog
+    # query path), event-rate burst detection, and nearest-neighbor
+    # image resize over gradient fixtures (taking the slots of
+    # q_dedup_exact, q_simhash, and q_cosine_topk — all hash-green in
+    # CORRECTNESS_r02 with bodies unchanged since)
+    "q_bm25_search", "q_rate_anomaly", "q_media_resize",
+    # new in round 3: fixed-point PageRank (iterative link-graph rank,
+    # exact integer oracle), URL canonicalization, and normalized exact
+    # dedup — these have NO prior driver row, so they take the slots of
+    # q_media_features / q_minhash_lsh / q_ngram_jaccard, whose r3
+    # changes are plan-shape only (outputs identical, r02 rows
+    # hash-green, re-verified locally via tools/check_correctness)
+    "q_pagerank", "q_url_canonical", "q_norm_dedup",
+    # implementation touched this round — re-grade (the untouched,
+    # already-hash-green r02 queries q_phishing_score, q_rule_score,
+    # q_dialect_fingerprint, q_asof_join, q_time_band_join,
+    # q_tool_response_join moved to the tail to keep every never-graded
+    # query inside the 50-slot window)
+    "q_turns_flagship",
     # new in round 3: bucketed co-located join and partition-pruned
     # layout (taking the slots of q_sessionize_events and
     # q_pricing_summary — both unchanged and already hash-green in

@@ -101,3 +101,85 @@ def sql_extract_url_strings(text_expr: str) -> str:
         f"list_sort(list_distinct(regexp_extract_all(coalesce({text_expr}, ''), "
         f"'{SQL_RE_URL}', 1)))"
     )
+
+
+# ---- canonicalization (web-pipeline URL dedup) ------------------------------
+
+# Tracking parameters stripped during canonicalization (the standard
+# crawl-dedup set: Google/Facebook/Microsoft click ids + utm_* campaign
+# tags). Kept deliberately short and documented — canonicalization is a
+# policy, and silent over-stripping merges distinct resources.
+TRACKING_PARAMS = ["gclid", "fbclid", "msclkid", "ref"]
+DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def canonicalize_url(u: Column) -> Column:
+    """Canonical form for URL-level dedup (crawl-frontier / near-dup
+    pre-pass): lowercase scheme+host, strip the scheme's default port,
+    drop the fragment, drop tracking params (TRACKING_PARAMS + utm_*),
+    sort surviving query params, normalize empty path to '/'. Pure
+    column expressions — stays in whole-stage codegen; at 100 TB this
+    runs in the scan projection with zero shuffle.
+
+    Dedup policy notes (documented, deliberate): userinfo@ is preserved
+    but lowercased; param VALUE percent-encoding is not normalized;
+    path dot-segments are not resolved. Two URLs that differ only in
+    those dimensions stay distinct."""
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    auth = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]*)", 1))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    host = F.regexp_replace(auth, r":\d+$", "")
+    default_port = F.coalesce(
+        *[F.when(scheme == s, F.lit(p)) for s, p in DEFAULT_PORTS.items()],
+        F.lit(""),
+    )
+    authority = F.when(
+        (port == "") | (port == default_port), host
+    ).otherwise(F.concat(host, F.lit(":"), port))
+
+    path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    name = lambda p: F.element_at(F.split(p, "=", 2), 1)  # noqa: E731
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "")
+            & ~F.lower(name(p)).isin(TRACKING_PARAMS)
+            & ~F.lower(name(p)).startswith("utm_"),
+        )
+    )
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), authority, path, query)
+
+
+def sql_canonicalize_url(u: str) -> str:
+    """DuckDB twin of canonicalize_url over the URL expression ``u`` —
+    same extraction regexes, same param policy, same tie-breaks."""
+    tracking = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    ports = " ".join(
+        f"WHEN '{s}' THEN '{p}'" for s, p in DEFAULT_PORTS.items()
+    )
+    return f"""(
+    WITH parts AS (SELECT
+        lower(regexp_extract({u}, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]*)', 1)) AS auth,
+        regexp_extract({u}, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract({u}, '\\?([^#]*)', 1) AS qs)
+    SELECT scheme || '://' ||
+        CASE WHEN regexp_extract(auth, ':(\\d+)$', 1) IN
+                  ('', CASE scheme {ports} ELSE '' END)
+             THEN regexp_replace(auth, ':\\d+$', '')
+             ELSE auth END ||
+        CASE WHEN path = '' THEN '/' ELSE path END ||
+        CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+             ELSE '' END
+    FROM (SELECT *, list_sort(list_filter(string_split(qs, '&'),
+        p -> p <> ''
+         AND NOT list_contains([{tracking}], lower(string_split(p, '=')[1]))
+         AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_')))
+        AS kept FROM parts)
+    )"""

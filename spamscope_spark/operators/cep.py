@@ -169,6 +169,53 @@ def sql_match_sequence(
 # ---------------------------------------------------------------------------
 
 
+def score_rate_windows(cnt: DataFrame, key: str, lookback: int = 6) -> DataFrame:
+    """Score (window_start, key, n) count rows against the trailing
+    ``lookback`` observed windows per key: adds n_prev (history size),
+    var_num (exact-integer variance numerator, the zero-variance
+    guard), mean_prev, and z (both rounded to 4dp). Shared kernel of
+    the batch rate_anomaly and the streaming start_anomaly_query —
+    determinism notes on rate_anomaly."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy("window_start")
+        .rowsBetween(-lookback, -1)
+    )
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    m = F.count(F.lit(1)).over(w)
+    var_num = m * s2 - s1 * s1
+    # Divisions are guarded by lazily-evaluated CASE WHEN: under ANSI
+    # mode (Spark 4 default) an UNFILTERED projection of z would raise
+    # DIVIDE_BY_ZERO for one-window histories (m-1 = 0) — the batch
+    # operator happened to filter those rows out before projection, but
+    # the streaming path emits every scored row. The zero-variance
+    # guard is an EXACT integer predicate (m*sum_sq > sum^2): engines
+    # disagree on double x/0 (Spark ANSI → error, DuckDB → inf), so the
+    # division must never be reached on both sides.
+    mean = F.when(m > 0, s1 / m)
+    z = F.when(
+        (m > 1) & (var_num > 0),
+        (F.col("n") - s1 / m) / F.sqrt((s2 - s1 * s1 / m) / (m - 1)),
+    )
+    return (
+        cnt.withColumn("var_num", var_num)
+        .withColumn("n_prev", m)
+        .withColumn("mean_prev", F.round(mean, 4))
+        .withColumn("z", F.round(z, 4))
+    )
+
+
+def anomaly_predicate(min_history: int = 4, z_threshold: float = 2.0) -> F.Column:
+    """The keep/drop decision over score_rate_windows output (compares
+    the ROUNDED z, so both engines decide identically)."""
+    return (
+        (F.col("n_prev") >= min_history)
+        & (F.col("var_num") > 0)
+        & (F.col("z") >= F.lit(z_threshold))
+    )
+
+
 def rate_anomaly(
     df: DataFrame,
     key: str,
@@ -203,30 +250,8 @@ def rate_anomaly(
         F.date_trunc(bucket, F.col(ts)).alias("window_start"),
         F.col(key),
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = (
-        Window.partitionBy(key)
-        .orderBy("window_start")
-        .rowsBetween(-lookback, -1)
-    )
-    s1 = F.sum("n").over(w)
-    s2 = F.sum(F.col("n") * F.col("n")).over(w)
-    m = F.count(F.lit(1)).over(w)
-    mean = s1 / m
-    var = (s2 - s1 * s1 / m) / (m - 1)
-    z = (F.col("n") - mean) / F.sqrt(var)
-    # zero-variance history guard as an EXACT integer predicate
-    # (n*sum_sq > sum^2): engines disagree on double x/0 (Spark → NULL,
-    # DuckDB → inf), so the division must never be reached on both sides.
-    out = (
-        cnt.withColumn("var_num", m * s2 - s1 * s1)
-        .withColumn("n_prev", m)
-        .withColumn("mean_prev", F.round(mean, 4))
-        .withColumn("z", F.round(z, 4))
-        .where(
-            (F.col("n_prev") >= min_history)
-            & (F.col("var_num") > 0)
-            & (F.col("z") >= F.lit(z_threshold))
-        )
+    out = score_rate_windows(cnt, key, lookback).where(
+        anomaly_predicate(min_history, z_threshold)
     )
     return out.select(key, "window_start", "n", "n_prev", "mean_prev", "z")
 

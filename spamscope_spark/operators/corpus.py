@@ -453,6 +453,67 @@ def sql_pii_counts(text_expr: str) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# normalization + normalized exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text for normalization-insensitive exact dedup (the
+    CCNet/Gopher-style pre-pass: lowercase, punctuation → space,
+    whitespace collapsed, trimmed). Pure JVM regexp chain — runs in the
+    scan projection. ASCII-scoped on purpose: the sandbox locale makes
+    non-ASCII case folding engine-dependent; a production build widens
+    the class with a documented ICU policy."""
+    t = F.lower(F.coalesce(text, F.lit("")))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def sql_normalize_text(text_expr: str) -> str:
+    t = f"lower(coalesce({text_expr}, ''))"
+    t = f"regexp_replace({t}, '[^a-z0-9\\s]', ' ', 'g')"
+    t = f"regexp_replace({t}, '\\s+', ' ', 'g')"
+    return f"trim({t})"
+
+
+def norm_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate groups under normalized-exact equality: md5 of the
+    normalized text → (norm_hash, n_docs, canonical_id=min id), groups
+    with ≥ 2 members. Catches the case/punctuation/spacing near-copies
+    that byte-exact dedup (operators/dedup.py::exact_dedup) misses and
+    MinHash wastes banding on. One shuffle on the hash; same scale
+    shape as exact dedup."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(normalize_text(F.col(text_col))).alias("norm_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def sql_norm_dedup_groups(
+    table: str, id_col: str = "doc_id", text_expr: str = "text"
+) -> str:
+    return f"""
+    SELECT md5({sql_normalize_text(text_expr)}) AS norm_hash,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        MIN({id_col}) AS canonical_id
+    FROM {table}
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # token-budget shard packing
 # ---------------------------------------------------------------------------
 

@@ -23,9 +23,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..datagen import SUBJECT_KEYS, TARGET_KEYS, WHITELIST_DOMAINS, generate_turns
 from ..functions import textstats
+from ..functions import urls as urlfns
 from ..functions.keywords import matched_targets, search_words, sql_search_words
 from ..functions.urls import RE_URL, extract_url_strings
-from ..operators import cep, corpus, dedup, joins, search, sessionize, similarity, skew
+from ..operators import (
+    cep,
+    corpus,
+    dedup,
+    graph,
+    joins,
+    search,
+    sessionize,
+    similarity,
+    skew,
+)
 from ..operators.enrich import enrich_turns
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..oracle import PHISHING_BITMAP
@@ -2748,3 +2759,136 @@ def q_media_resize(spark, sf_dir):
 
     d = synthesize_gradient_payloads(_t(spark, sf_dir, "documents"), "doc_id")
     return resize_images(d, "doc_id", "payload", out_w=2, out_h=2)
+
+
+# ===========================================================================
+# Round-3 additions: link-graph PageRank, URL canonicalization
+# ===========================================================================
+
+# The user-transition edge table: per user, consecutive events (by ts,
+# event_id) define a src→dst transition between props.k values — the
+# in-corpus link graph. Self-loops excluded, multi-edges deduped (the
+# pagerank contract).
+EDGES_SQL = """
+    SELECT DISTINCT src, dst FROM (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS src,
+            LEAD(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ) WHERE dst IS NOT NULL AND src <> dst
+"""
+
+
+def _transition_edges(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(F.col("user_id"), F.col("ts"), F.col("event_id"), k.alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@query("q_pagerank", graph.sql_pagerank(EDGES_SQL, iterations=5))
+def q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank over the user-transition link graph — the
+    in-corpus reputation prior (reference analog: the network bolt's
+    per-sender reputation enrichment, src/bolts/network.py, computed
+    from the data instead of fetched per row). All-integer arithmetic
+    at 10^12 fixed point: 5 iterations of edges⋈ranks → partial-summed
+    groupBy → node left join, lineage-truncated — bit-identical to the
+    unrolled-CTE oracle with no float summation-order hazard
+    (operators/graph.py)."""
+    return graph.pagerank(_transition_edges(spark, sf_dir), iterations=5)
+
+
+@query(
+    "q_url_canonical",
+    f"""
+    WITH urls AS (
+        SELECT doc_id, unnest(list_sort(list_distinct(
+            regexp_extract_all(t2, '{_SQL_RE_URL_DUCK}', 1)))) AS u
+        FROM (SELECT doc_id, {SQL_DERIVED_TEXT} AS t2 FROM documents)
+    ), dec AS (
+        SELECT doc_id, CASE doc_id % 5
+            WHEN 1 THEN u || (CASE WHEN contains(u, '?') THEN '&' ELSE '?' END)
+                || 'utm_source=news&b=2&a=1'
+            WHEN 2 THEN regexp_replace(u, '^http://', 'HTTP://') || '#frag'
+            WHEN 3 THEN u || (CASE WHEN contains(u, '?') THEN '&' ELSE '?' END)
+                || 'gclid=abc&keep=1&keep=1'
+            WHEN 4 THEN regexp_replace(u, '^http://([^/?#]*)', 'http://\\1:80')
+            ELSE u END AS url
+        FROM urls
+    )
+    SELECT doc_id, url, {urlfns.sql_canonicalize_url('url')} AS canon
+    FROM dec
+    """,
+)
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization for crawl/corpus dedup: extracted URLs are
+    deterministically decorated (tracking params, fragment, uppercase
+    scheme, explicit default port — the by-doc_id%5 variants below) and
+    canonicalized back (functions/urls.py::canonicalize_url — lowercase
+    scheme/host, default-port strip, fragment drop, tracking-param
+    strip, param sort). The oracle twin applies the same decoration and
+    an independently-written SQL canonicalizer, so a policy divergence
+    in either engine breaks the hash. Pure column exprs, zero shuffle."""
+    d = _t(spark, sf_dir, "documents").withColumn("t2", derived_text())
+    u = d.select(
+        "doc_id", F.explode(extract_url_strings(F.col("t2"))).alias("u")
+    )
+    v = F.col("doc_id") % 5
+    sep = F.when(F.col("u").contains("?"), F.lit("&")).otherwise(F.lit("?"))
+    dec = u.select(
+        "doc_id",
+        F.when(v == 1, F.concat(F.col("u"), sep, F.lit("utm_source=news&b=2&a=1")))
+        .when(
+            v == 2,
+            F.concat(
+                F.regexp_replace("u", r"^http://", "HTTP://"), F.lit("#frag")
+            ),
+        )
+        .when(v == 3, F.concat(F.col("u"), sep, F.lit("gclid=abc&keep=1&keep=1")))
+        .when(
+            v == 4,
+            F.regexp_replace("u", r"^http://([^/?#]*)", "http://$1:80"),
+        )
+        .otherwise(F.col("u"))
+        .alias("url"),
+    )
+    return dec.select(
+        "doc_id", "url", urlfns.canonicalize_url(F.col("url")).alias("canon")
+    )
+
+
+NORM_VARIANT = "  PLEASE Confirm your PAYMENT details, at the portal!!!  "
+
+
+@query(
+    "q_norm_dedup",
+    corpus.sql_norm_dedup_groups(
+        f"""(SELECT doc_id,
+            CASE WHEN doc_id % 17 = 0 THEN '{DUP_TEXT_DOC}'
+                 WHEN doc_id % 23 = 0 THEN '{NORM_VARIANT}'
+                 ELSE coalesce(text, '') END AS t4
+            FROM documents) AS d""",
+        text_expr="t4",
+    ),
+)
+def q_norm_dedup(spark, sf_dir):
+    """normalization-insensitive exact dedup: the %17 planted docs and
+    the %23 case/punctuation variants normalize to the SAME string, so
+    their groups merge here but NOT under byte-exact dedup
+    (q_dedup_exact keeps them apart — the two queries together pin the
+    normalizer's added value). One md5-groupBy shuffle, scale shape of
+    exact dedup (operators/corpus.py::norm_dedup_groups)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "t4",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(DUP_TEXT_DOC))
+        .when(F.col("doc_id") % 23 == 0, F.lit(NORM_VARIANT))
+        .otherwise(F.coalesce(F.col("text"), F.lit(""))),
+    )
+    return corpus.norm_dedup_groups(d, "doc_id", "t4")

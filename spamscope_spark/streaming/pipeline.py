@@ -677,3 +677,89 @@ def start_join_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sink
+
+
+def start_anomaly_query(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    key: str = "role",
+    bucket_s: int = 3600,
+    lookback: int = 6,
+    min_history: int = 4,
+    z_threshold: float = 2.0,
+    available_now: bool = True,
+):
+    """Streaming twin of operators/cep.py::rate_anomaly — the always-on
+    campaign/surge monitor over the turn stream.
+
+    Shape: a watermarked tumbling-window count (append mode: a
+    (window, key) count row is FINAL once the watermark passes the
+    window end — exactly-once, replay-safe), then the z-score against
+    the trailing ``lookback`` windows is computed in foreachBatch over
+    [sink history ∪ this batch] with the SAME score_rate_windows
+    kernel the batch operator uses. History completeness holds by
+    watermark monotonicity: any window earlier than one finalizing now
+    has an earlier end, hence finalized in this or a previous batch —
+    so trailing-observed-window semantics match the batch operator
+    exactly, and the emitted rows are a watermark-closed prefix of the
+    batch result on the same input.
+
+    Scale: the windowed count is the only wide stage over raw turns
+    (map-side partial aggs, watermark-bounded state). The foreachBatch
+    z-score reads back only the count table — |keys| × |windows| rows,
+    orders of magnitude smaller than the stream — and the per-key
+    window pass parallelizes across keys."""
+    from ..operators import cep
+
+    _apply_state_store(spark, cfg)
+    sink = IdempotentSink(
+        cfg.output("rate_anomaly"), keys=["window_start", key]
+    )
+    src = read_turns_stream(spark, cfg)
+    cnt = (
+        src.withWatermark("ts", cfg.watermark)
+        .groupBy(
+            F.window("ts", f"{bucket_s} seconds").alias("w"), F.col(key)
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), key, "n")
+    )
+
+    def process(batch_df: DataFrame, epoch: int) -> None:
+        fresh = batch_df.select("window_start", key, "n")
+        if sink.committed_epochs():
+            hist = sink.read_merged(spark).select("window_start", key, "n")
+            allc = hist.unionByName(fresh).dropDuplicates(
+                ["window_start", key]
+            )
+        else:
+            allc = fresh
+        scored = cep.score_rate_windows(allc, key, lookback).withColumn(
+            # NULL z (insufficient/zero-variance history) is "not an
+            # anomaly", not three-valued unknown, in the stored column
+            "is_anomaly",
+            F.coalesce(
+                cep.anomaly_predicate(min_history, z_threshold), F.lit(False)
+            ),
+        )
+        new = scored.join(
+            fresh.select("window_start", key), ["window_start", key],
+            "left_semi",
+        )
+        sink.process_batch(
+            new.select(
+                "window_start", key, "n", "n_prev", "mean_prev", "z",
+                "is_anomaly",
+            ),
+            epoch,
+        )
+
+    writer = (
+        cnt.writeStream.foreachBatch(process)
+        .option("checkpointLocation", cfg.checkpoint("rate_anomaly"))
+        .outputMode("append")
+        .queryName("rate_anomaly")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink

@@ -1,0 +1,181 @@
+"""Tests for round-3 additions: fixed-point PageRank, URL
+canonicalization, and the streaming rate-anomaly query."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spamscope_spark.datagen import generate_turns
+from spamscope_spark.functions.urls import canonicalize_url, sql_canonicalize_url
+from spamscope_spark.operators import cep
+from spamscope_spark.operators.graph import SCALE, pagerank, sql_pagerank
+from spamscope_spark.streaming.pipeline import PipelineConfig, start_anomaly_query
+
+EDGES = [
+    (1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 2), (5, 4),
+    (3, 6),  # 6 is dangling (no out-edges): its mass drops, documented
+]
+
+
+def _py_pagerank(edges, iterations=5):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out: dict[int, int] = {}
+    inc: dict[int, list[int]] = {}
+    for s, d in edges:
+        out[s] = out.get(s, 0) + 1
+        inc.setdefault(d, []).append(s)
+    rank = {v: SCALE // n for v in nodes}
+    base = (15 * SCALE) // (100 * n)
+    for _ in range(iterations):
+        rank = {
+            v: base + (85 * sum(rank[u] // out[u] for u in inc.get(v, []))) // 100
+            for v in nodes
+        }
+    return rank
+
+
+class TestPageRank:
+    def test_matches_python_reference(self, spark):
+        e = spark.createDataFrame(EDGES, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+        assert got == _py_pagerank(EDGES, iterations=5)
+
+    def test_sql_twin_matches_spark(self, spark, duck):
+        e = spark.createDataFrame(EDGES, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(e, iterations=4).collect()}
+        values = ", ".join(f"({s}, {d})" for s, d in EDGES)
+        sql = sql_pagerank(
+            f"SELECT * FROM (VALUES {values}) AS t(src, dst)", iterations=4
+        )
+        oracle = {int(n): int(r) for n, r in duck.sql(sql).fetchall()}
+        assert got == oracle
+
+    def test_rank_orders_by_link_structure(self, spark):
+        # node 1 has in-edges from 3 and 4; node 5 has none → base only
+        e = spark.createDataFrame(EDGES, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+        n = len(got)
+        assert got[5] == (15 * SCALE) // (100 * n)
+        assert got[1] > got[5]
+        # total mass never exceeds SCALE (dangling mass only leaks out)
+        assert sum(got.values()) <= SCALE
+
+
+CANON_CASES = [
+    # (input, expected)
+    ("http://Example.COM/path", "http://example.com/path"),
+    ("HTTPS://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("ftp://Example.com:21/f.txt", "ftp://example.com/f.txt"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/p#frag", "http://example.com/p"),
+    (
+        "http://example.com/p?utm_source=a&b=2&a=1&utm_campaign=x",
+        "http://example.com/p?a=1&b=2",
+    ),
+    ("http://example.com/p?gclid=z&fbclid=y&keep=1", "http://example.com/p?keep=1"),
+    ("http://example.com/p?b=2&a=1", "http://example.com/p?a=1&b=2"),
+    ("http://example.com/p?utm_only=1", "http://example.com/p"),
+    ("http://User@example.com/p", "http://user@example.com/p"),
+    ("http://example.com/p?A=1", "http://example.com/p?A=1"),  # names case-kept
+]
+
+
+class TestCanonicalUrl:
+    def test_expected_forms(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "u string")
+        got = [
+            r["c"]
+            for r in df.select(canonicalize_url(F.col("u")).alias("c"))
+            .orderBy(F.monotonically_increasing_id())
+            .collect()
+        ]
+        # order by original list: re-derive via dict (inputs unique)
+        m = {
+            r["u"]: r["c"]
+            for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()
+        }
+        for u, exp in CANON_CASES:
+            assert m[u] == exp, u
+        assert len(got) == len(CANON_CASES)
+
+    def test_sql_twin_parity(self, spark, duck):
+        m = {
+            r["u"]: r["c"]
+            for r in spark.createDataFrame([(u,) for u, _ in CANON_CASES], "u string")
+            .select("u", canonicalize_url(F.col("u")).alias("c"))
+            .collect()
+        }
+        for u, _ in CANON_CASES:
+            (got,) = duck.sql(
+                f"SELECT {sql_canonicalize_url(repr(u))} AS c"
+            ).fetchone()
+            assert got == m[u], u
+
+
+class TestStreamingRateAnomaly:
+    KEY, BUCKET_S, LOOKBACK, MIN_H, Z = "role", 3600, 6, 4, 2.0
+
+    @pytest.fixture()
+    def anomaly_cfg(self, spark, tmp_path):
+        path = str(tmp_path / "turns_in")
+        generate_turns(spark, n_convs=20, turns_per_conv=24).write.parquet(path)
+        return PipelineConfig(input_path=path, work_dir=str(tmp_path / "work"))
+
+    def test_stream_matches_batch_and_replays_clean(self, spark, anomaly_cfg):
+        q, sink = start_anomaly_query(
+            spark, anomaly_cfg, key=self.KEY, bucket_s=self.BUCKET_S,
+            lookback=self.LOOKBACK, min_history=self.MIN_H, z_threshold=self.Z,
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["window_start"], r[self.KEY]): (
+                r["n"], r["n_prev"], r["mean_prev"], r["z"], r["is_anomaly"]
+            )
+            for r in sink.read_merged(spark).collect()
+        }
+        assert got, "stream emitted no finalized windows"
+
+        # batch twin over the same parquet, same kernel, full data
+        turns = spark.read.parquet(anomaly_cfg.input_path)
+        cnt = turns.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col(self.KEY),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        scored = cep.score_rate_windows(cnt, self.KEY, self.LOOKBACK).withColumn(
+            "is_anomaly",
+            F.coalesce(cep.anomaly_predicate(self.MIN_H, self.Z), F.lit(False)),
+        )
+        exp = {
+            (r["window_start"], r[self.KEY]): (
+                r["n"], r["n_prev"], r["mean_prev"], r["z"], r["is_anomaly"]
+            )
+            for r in scored.collect()
+        }
+        # every emitted (closed) window matches the batch value exactly
+        for k, v in got.items():
+            assert exp[k] == v, k
+        # anomaly rows agree on the emitted subset
+        got_anom = {k for k, v in got.items() if v[4]}
+        exp_anom = {k for k, v in exp.items() if v[4] and k in got}
+        assert got_anom == exp_anom
+        # the batch anomaly OPERATOR (filtered form) agrees too
+        op = {
+            (r["window_start"], r[self.KEY])
+            for r in cep.rate_anomaly(
+                turns, self.KEY, "ts", bucket="hour",
+                lookback=self.LOOKBACK, min_history=self.MIN_H, z_threshold=self.Z,
+            ).collect()
+        }
+        assert got_anom == {k for k in op if k in got}
+
+        # restart from the same checkpoint: exactly-once, no new rows
+        q2, sink2 = start_anomaly_query(
+            spark, anomaly_cfg, key=self.KEY, bucket_s=self.BUCKET_S,
+            lookback=self.LOOKBACK, min_history=self.MIN_H, z_threshold=self.Z,
+        )
+        q2.awaitTermination(300)
+        assert sink2.read_merged(spark).count() == len(got)
