@@ -666,6 +666,125 @@ def sql_decontaminate(
     """
 
 
+def _bloom_pos(shingle, i: int, m_bits: int):
+    """Bit position i for a shingle: md5('<i>:'+shingle)[0:12] % m —
+    12 hex chars (48 bits) so the modulo is unbiased for any practical
+    m. Identical derivation in the SQL twin below."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, 12), 16, 10
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination against a BLOOM FILTER of the eval
+    set's shingles instead of the raw shingle strings — the 100 TB
+    shape when the eval suite itself is large: decontaminate() ships
+    every distinct benchmark shingle string to every executor, which
+    stops fitting once the suite reaches millions of documents; the
+    Bloom bitset is a fixed m_bits regardless of suite size (2^18 bits
+    = 32 KiB; production sizes m for the target FPR ≈ (1-e^(-kn/m))^k).
+
+    Returns (doc_id, n_hit_shingles, might_contaminated) for flagged
+    docs only — a conservative SUPERSET of the exact operator's doc set
+    (no false negatives by construction; false positives at the Bloom
+    FPR). The standard pipeline drops flagged docs outright or routes
+    them to the exact recheck.
+
+    Shape: benchmark → distinct shingles → k positions each → distinct
+    position rows (≤ m_bits, the filter's set bits) broadcast to the
+    corpus side; corpus shingles explode to k (shingle, i, pos) probes,
+    a broadcast equi-join marks set bits, and a shingle hits iff all k
+    probes match. No corpus-side shuffle except the final per-doc
+    groupBy on the id. Represented as a position TABLE rather than a
+    packed bitmap so the whole plan stays in pure column exprs (the
+    packed-bitmap variant is a driver-built BloomFilter broadcast —
+    same semantics, opaque to the oracle)."""
+    from .dedup import word_shingles
+
+    bpos = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("sh"), i, m_bits) for i in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .distinct()
+        .select(
+            id_col,
+            "sh",
+            F.explode(
+                F.array(*[_bloom_pos(F.col("sh"), i, m_bits) for i in range(k)])
+            ).alias("pos"),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(bpos), on="pos")
+        .groupBy(id_col, "sh")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .where(F.col("n_set") == k)
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_shingles"),
+        F.lit(True).alias("might_contaminated"),
+    )
+
+
+def sql_bloom_decontaminate(
+    corpus_sql: str,
+    benchmark_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> str:
+    """DuckDB twin — identical position derivation and all-k test."""
+    from .dedup import sql_word_shingles
+
+    sh = sql_word_shingles(text_col, n)
+    pos = (
+        f"CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sh), 1, 12)"
+        f" AS BIGINT) % {m_bits}"
+    )
+    return f"""
+    WITH ks AS (SELECT range AS i FROM range({k})),
+    bsh AS (
+        SELECT DISTINCT unnest({sh}) AS sh FROM ({benchmark_sql})
+    ), bpos AS (
+        SELECT DISTINCT {pos} AS pos FROM bsh, ks
+    ), csh AS (
+        SELECT DISTINCT {id_col}, unnest({sh}) AS sh FROM ({corpus_sql})
+    ), probes AS (
+        SELECT {id_col}, sh, {pos} AS pos FROM csh, ks
+    ), hits AS (
+        SELECT {id_col}, sh FROM probes JOIN bpos USING (pos)
+        GROUP BY {id_col}, sh HAVING COUNT(*) = {k}
+    )
+    SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_hit_shingles,
+           TRUE AS might_contaminated
+    FROM hits GROUP BY {id_col}
+    """
+
+
 # ---------------------------------------------------------------------------
 # token-window document chunking
 # ---------------------------------------------------------------------------

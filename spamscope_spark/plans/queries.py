@@ -532,6 +532,42 @@ def q_tool_response_join(spark, sf_dir):
     )
 
 
+_SQL_TOOL_TIMEOUTS = f"""
+    WITH turns AS (SELECT * FROM read_parquet('{_TOOLJOIN_TURNS_PATH}/*.parquet')),
+    inv AS (
+        SELECT conv_id, tool, turn_idx, ts FROM turns
+        WHERE role = 'assistant' AND tool IS NOT NULL
+    ), resp AS (
+        SELECT conv_id AS r_cid, tool AS r_tool, turn_idx AS r_ti, ts AS r_ts
+        FROM turns WHERE role = 'tool' AND tool IS NOT NULL
+    )
+    SELECT inv.conv_id, inv.tool, inv.turn_idx, inv.ts
+    FROM inv WHERE NOT EXISTS (
+        SELECT 1 FROM resp r
+        WHERE r.r_cid = inv.conv_id AND r.r_tool = inv.tool
+          AND r.r_ts > inv.ts
+          AND r.r_ts <= inv.ts + INTERVAL 600 SECONDS
+          AND r.r_ti > inv.turn_idx)
+    """
+
+
+@query("q_tool_timeouts", _SQL_TOOL_TIMEOUTS)
+def q_tool_timeouts(spark, sf_dir):
+    """Unanswered tool invocations (no response within the band) — the
+    batch twin of the streaming leftOuter join's timeout emission
+    (streaming/pipeline.py::unanswered_tool_calls, new r3). The
+    reference never surfaces this: a JsonMaker branch that never
+    arrives just buffers forever (json_maker.py:82-88)."""
+    turns = generate_turns(spark, n_convs=60, turns_per_conv=24)
+    turns.write.mode("overwrite").parquet(_TOOLJOIN_TURNS_PATH)
+    j = joins.tool_response_join(
+        spark.read.parquet(_TOOLJOIN_TURNS_PATH), band_s=600
+    )
+    return j.where(F.col("resp_turn_idx").isNull()).select(
+        "conv_id", "tool", "turn_idx", "ts"
+    )
+
+
 @query(
     "q_salted_agg",
     """
@@ -2297,6 +2333,27 @@ def q_decontaminate(spark, sf_dir):
         d.where(F.col("doc_id") % 97 == 0).select(
             F.col("doc_id").alias("bench_id"), "text"
         ),
+        n=3,
+    )
+
+
+@query(
+    "q_bloom_decontaminate",
+    corpus.sql_bloom_decontaminate(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0",
+        n=3,
+    ),
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    """decontamination against a Bloom bitset of the eval shingles —
+    the fixed-size-broadcast variant for eval suites too large to ship
+    as raw strings; flags a provable superset of q_decontaminate's
+    docs (new r3)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bloom_decontaminate(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
         n=3,
     )
 

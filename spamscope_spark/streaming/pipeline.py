@@ -399,12 +399,19 @@ def session_window_agg(df: DataFrame, gap_s: int = 30 * 60) -> DataFrame:
 
 
 def tool_response_stream_join(
-    spark: SparkSession, cfg: PipelineConfig
+    spark: SparkSession, cfg: PipelineConfig, how: str = "inner"
 ) -> DataFrame:
     """Tool-invocation ⋈ tool-response as a watermarked stream-stream
-    inner join: equality on (conv_id, tool) + response within
-    (ts, ts + band]. Both sides carry watermarks, so join state is
-    bounded — the fix for the reference's unbounded JsonMaker buffers."""
+    join: equality on (conv_id, tool) + response within (ts, ts + band].
+    Both sides carry watermarks, so join state is bounded — the fix for
+    the reference's unbounded JsonMaker buffers.
+
+    `how="leftOuter"` additionally emits each UNMATCHED invocation once
+    the watermark passes ts + band (null resp_* columns) — outer-join
+    state eviction is the emission trigger, so 'no response arrived' is
+    itself an event. The reference has no analog: a JsonMaker branch
+    that never arrives buffers forever (json_maker.py:82-88) and is
+    never reported."""
     turns = read_turns_stream(spark, cfg)
     inv = (
         turns.where((F.col("role") == "assistant") & F.col("tool").isNotNull())
@@ -435,7 +442,7 @@ def tool_response_stream_join(
         & (F.col("r_ts") <= F.col("i_ts") + F.expr(f"INTERVAL {cfg.band_s} SECONDS"))
         & (F.col("r_turn_idx") > F.col("i_turn_idx"))
     )
-    return inv.join(resp, on=cond, how="inner").select(
+    return inv.join(resp, on=cond, how=how).select(
         F.col("i_conv_id").alias("conv_id"),
         F.col("i_tool").alias("tool"),
         F.col("i_turn_idx").alias("turn_idx"),
@@ -443,6 +450,19 @@ def tool_response_stream_join(
         F.col("r_turn_idx").alias("resp_turn_idx"),
         F.col("r_ts").alias("resp_ts"),
         F.col("r_text").alias("resp_text"),
+    )
+
+
+def unanswered_tool_calls(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Tool invocations with NO response inside (ts, ts + band] — the
+    timeout/dead-letter stream. A row is emitted exactly once, when the
+    watermark passes ts + band and the outer join evicts the unmatched
+    invocation from state; until then Spark cannot know a response
+    won't still arrive. Late responses beyond the watermark are dropped
+    by the join, so a timeout verdict is final."""
+    j = tool_response_stream_join(spark, cfg, how="leftOuter")
+    return j.where(F.col("resp_turn_idx").isNull()).select(
+        "conv_id", "tool", "turn_idx", "ts"
     )
 
 
@@ -673,6 +693,24 @@ def start_join_query(
         .option("checkpointLocation", cfg.checkpoint("tool_pairs"))
         .outputMode("append")
         .queryName("tool_pairs")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def start_timeout_query(
+    spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
+):
+    """Unanswered-tool-call timeouts (outer-join eviction), exactly-once."""
+    _apply_state_store(spark, cfg)
+    sink = IdempotentSink(cfg.output("tool_timeouts"), keys=["conv_id", "turn_idx"])
+    df = unanswered_tool_calls(spark, cfg)
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cfg.checkpoint("tool_timeouts"))
+        .outputMode("append")
+        .queryName("tool_timeouts")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

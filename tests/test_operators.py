@@ -747,6 +747,40 @@ class TestCorpus:
             (1, 100, 1)  # shared 3-gram: "quick brown fox"
         ]
 
+    def test_bloom_decontaminate_superset_of_exact(self, spark):
+        """No false negatives by construction: every doc the exact
+        operator flags must be Bloom-flagged; false positives stay
+        under the filter's FPR on a clean corpus."""
+        docs = [
+            (i, f"clean doc {i} alpha beta gamma delta {i * 7} {i * 13}")
+            for i in range(200)
+        ]
+        docs += [(500 + i, f"leak{i} quick brown fox epsilon") for i in range(5)]
+        corpus_df = spark.createDataFrame(docs, "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(900 + i, f"leak{i} quick brown fox zeta") for i in range(5)],
+            "doc_id long, text string",
+        )
+        exact = {
+            r["doc_id"]
+            for r in corpus.decontaminate(
+                corpus_df,
+                bench.select(F.col("doc_id").alias("bench_id"), "text"),
+                n=3,
+            ).collect()
+        }
+        bloom = {
+            r["doc_id"]: r["n_hit_shingles"]
+            for r in corpus.bloom_decontaminate(corpus_df, bench, n=3).collect()
+        }
+        assert exact == {500, 501, 502, 503, 504}
+        assert exact <= set(bloom)
+        # 2^18-bit filter, ~15 benchmark shingles: FPR ~ 0 on 200 clean docs
+        assert len(set(bloom) - exact) <= 2
+        # each leaked doc shares exactly the 'leakN quick brown' + 'quick
+        # brown fox' 3-grams with its benchmark twin
+        assert all(bloom[d] >= 2 for d in exact)
+
     def test_stratified_sample_rates(self, spark):
         rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
         df = spark.createDataFrame(rows, "doc_id long, lang string")

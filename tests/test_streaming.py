@@ -338,6 +338,64 @@ class TestStreamStreamJoin:
         assert len(got) == sink2.read_merged(spark).count()
 
 
+class TestToolTimeoutJoin:
+    def test_unanswered_calls_emitted_after_watermark(self, spark, cfg):
+        """leftOuter stream-stream join: an invocation with no response
+        in (ts, ts+band] is emitted with null resp_* once the watermark
+        passes ts + band — 'no response' becomes an event instead of a
+        leaked buffer (the reference's JsonMaker failure mode)."""
+        import datetime as dt
+
+        from spamscope_spark.streaming.pipeline import start_timeout_query
+
+        query, sink = start_timeout_query(spark, cfg)
+        query.awaitTermination(300)
+        got = {
+            (r["conv_id"], r["turn_idx"])
+            for r in sink.read_merged(spark).collect()
+        }
+        raw = spark.read.parquet(cfg.input_path)
+        unmatched = tool_response_join(raw, band_s=cfg.band_s).where(
+            F.col("resp_turn_idx").isNull()
+        )
+        exp_all = {(r["conv_id"], r["turn_idx"]) for r in unmatched.collect()}
+        assert exp_all, "fixture must contain unanswered tool calls"
+        # soundness: every emitted timeout is truly unanswered
+        assert got <= exp_all
+        # completeness: every unanswered call that the final watermark
+        # could have closed (ts + band + watermark safely before the
+        # stream's max event time on BOTH sides) must have been emitted
+        wm_txt = cfg.watermark.split()
+        assert wm_txt[1].startswith("hour")
+        wm_s = int(wm_txt[0]) * 3600
+        inv_max = (
+            raw.where((F.col("role") == "assistant") & F.col("tool").isNotNull())
+            .agg(F.max("ts"))
+            .first()[0]
+        )
+        resp_max = (
+            raw.where((F.col("role") == "tool") & F.col("tool").isNotNull())
+            .agg(F.max("ts"))
+            .first()[0]
+        )
+        horizon = min(inv_max, resp_max) - dt.timedelta(
+            seconds=wm_s + cfg.band_s + 60
+        )
+        must = {
+            (r["conv_id"], r["turn_idx"])
+            for r in unmatched.where(F.col("ts") < F.lit(horizon)).collect()
+        }
+        assert must, "fixture must contain watermark-closable timeouts"
+        assert must <= got
+        # exactly-once: a restart from the same checkpoint adds nothing
+        query2, sink2 = start_timeout_query(spark, cfg)
+        query2.awaitTermination(300)
+        assert {
+            (r["conv_id"], r["turn_idx"])
+            for r in sink2.read_merged(spark).collect()
+        } == got
+
+
 class TestIcebergSinkPath:
     def test_factory_falls_back_without_runtime(self, spark, tmp_path):
         """No Iceberg jar in this sandbox: make_sink must return the
