@@ -5,13 +5,15 @@ The reference carries attachment payloads as base64 strings and decodes
 them in bolts (src/modules/attachments/attachments.py:346-371 withhashes,
 :277-344 metadata). Here the Spark-side plumbing — schema, batch shape,
 partition-preserving mapInPandas, hashing, size/type metadata — is real
-and tested. The codec step is REAL for two image formats that need no
-external library — BMP (24bpp uncompressed) and binary PPM (P6) — via
-`decode_image`, a from-scratch header+pixel parser; audio/video and
-other image formats remain STUBBED (their libs are not in this
-container) behind `decode_stub`, which raises NotImplementedError
-unless `fake=True` produces a deterministic fake feature vector (so the
-pipeline shape stays testable end-to-end for every media type).
+and tested. The codec step is REAL for formats that need no external
+library: two image formats — BMP (24bpp uncompressed) and binary PPM
+(P6) — via `decode_image`, and PCM WAV audio (RIFF chunk walk, 16-bit
+LPCM) via `decode_wav` — all from-scratch header+payload parsers.
+Video and other image/audio formats remain STUBBED (their libs are not
+in this container) behind `decode_stub`, which raises
+NotImplementedError unless `fake=True` produces a deterministic fake
+feature vector (so the pipeline shape stays testable end-to-end for
+every media type).
 """
 
 from __future__ import annotations
@@ -278,6 +280,140 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec: PCM WAV (RIFF). Pure Python + numpy — no media
+# libraries. Encoder exists so fixtures/tests build genuine RIFF bytes;
+# the decoder is the production-path parser (chunk walk, not fixed
+# offsets, so files with LIST/fact chunks before `data` still parse).
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_frames, n_channels) int16 array as a PCM WAV file
+    (RIFF + fmt + data chunks, little-endian interleaved frames)."""
+    s = np.asarray(samples, dtype="<i2")
+    n_frames, n_ch = s.shape
+    data = s.tobytes()
+    block = n_ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_ch, sample_rate, sample_rate * block, block, 16
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM WAV payload; returns {fmt, n_channels, sample_rate,
+    bits, n_frames, duration_ms, mean_ch0} where mean_ch0 is the exact
+    integer-sum mean of channel 0 (so an arithmetic oracle can predict
+    it). Raises ValueError on non-RIFF / non-PCM / truncated input."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt_chunk, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, i)
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, n_ch, rate, _, block, bits = struct.unpack_from("<HHIIHH", fmt_chunk, 0)
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV variant (fmt={audio_fmt}, bits={bits})")
+    n_frames = len(data) // block
+    s = np.frombuffer(data, "<i2", n_frames * n_ch).reshape(n_frames, n_ch)
+    return {
+        "fmt": "wav",
+        "n_channels": int(n_ch),
+        "sample_rate": int(rate),
+        "bits": int(bits),
+        "n_frames": int(n_frames),
+        "duration_ms": float(n_frames * 1000.0 / rate),
+        "mean_ch0": float(s[:, 0].astype(np.float64).mean()) if n_frames else None,
+    }
+
+
+# Fixture arithmetic shared with the SQL oracle: doc d has
+# n_frames = 40 + d % 16, n_channels = 1 + d % 2,
+# sample_rate = 8000 + (d % 3) * 4000, and channel-c sample at frame t
+# = ((7*d + 13*t + 101*c) % 65536) - 32768 — pure integer arithmetic,
+# so the decoded stats are predictable without seeing the bytes.
+WAV_FRAMES = "40 + {d} % 16"
+WAV_CHANNELS = "1 + {d} % 2"
+WAV_RATE = "8000 + ({d} % 3) * 4000"
+WAV_SAMPLE = "(7 * {d} + 13 * {t} + 101 * {c}) % 65536 - 32768"
+
+
+def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM WAV fixtures (the container ships no real media
+    files): frame counts, channel counts, rates, and every sample derive
+    arithmetically from the id (WAV_* formulas above)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                d = int(i)
+                n, ch = 40 + d % 16, 1 + d % 2
+                rate = 8000 + (d % 3) * 4000
+                t, c = np.indices((n, ch))
+                s = ((7 * d + 13 * t + 101 * c) % 65536 - 32768).astype("<i2")
+                payloads.append(encode_wav(s, rate))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        fn,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+
+
+WAV_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("fmt", StringType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("duration_ms", DoubleType(), True),
+        StructField("mean_ch0", DoubleType(), True),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real WAV decode over a binary column: mapInPandas, Arrow-batched,
+    partition-preserving (no shuffle). Unparseable payloads yield null
+    columns rather than failing the batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in WAV_DECODE_SCHEMA.fields}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(i)
+                try:
+                    m = decode_wav(bytes(p) if p is not None else b"")
+                except ValueError:
+                    m = {}
+                for k in ("fmt", "n_channels", "sample_rate", "n_frames",
+                          "duration_ms", "mean_ch0"):
+                    out[k].append(m.get(k))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=WAV_DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

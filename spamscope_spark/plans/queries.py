@@ -35,6 +35,7 @@ from ..operators import (
     search,
     sessionize,
     similarity,
+    sketch,
     skew,
 )
 from ..operators.enrich import enrich_turns
@@ -565,6 +566,74 @@ def q_tool_timeouts(spark, sf_dir):
     )
     return j.where(F.col("resp_turn_idx").isNull()).select(
         "conv_id", "tool", "turn_idx", "ts"
+    )
+
+
+_SQL_TURN_INTEGRITY = f"""
+    WITH turns AS (SELECT * FROM read_parquet('{_TOOLJOIN_TURNS_PATH}/*.parquet')),
+    l AS (
+        SELECT conv_id, turn_idx, ts,
+            lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ts_prev
+        FROM turns
+    ), g AS (
+        SELECT conv_id,
+            CAST(COUNT(*) AS BIGINT) AS n_turns,
+            CAST(COUNT(DISTINCT turn_idx) AS BIGINT) AS n_distinct,
+            MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
+            CAST(SUM(CASE WHEN ts_prev IS NOT NULL AND ts < ts_prev
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_inversions
+        FROM l GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns,
+        n_turns - n_distinct AS n_dup_idx,
+        CAST(max_idx - min_idx + 1 AS BIGINT) - n_distinct AS n_gaps,
+        CAST(min_idx AS INTEGER) AS min_idx, n_ts_inversions,
+        (n_turns = n_distinct AND min_idx = 0
+            AND max_idx = n_turns - 1 AND n_ts_inversions = 0) AS well_formed
+    FROM g
+    """
+
+
+@query("q_turn_integrity", _SQL_TURN_INTEGRITY)
+def q_turn_integrity(spark, sf_dir):
+    """Per-conversation turn-ordering integrity: duplicate turn_idx,
+    index gaps, and event-time inversions (ts moving backwards along
+    turn order — the fixture's late-shifted rows produce real ones).
+    The north rule's output contract ('per-turn text equality under
+    stable (conv_id, turn_idx) ordering') assumes exactly this
+    invariant; at ingest this query is the audit that catches upstream
+    writers violating it. One window + one groupBy, both on conv_id —
+    a single shuffle (new r3)."""
+    turns = generate_turns(spark, n_convs=60, turns_per_conv=24)
+    turns.write.mode("overwrite").parquet(_TOOLJOIN_TURNS_PATH)
+    t = spark.read.parquet(_TOOLJOIN_TURNS_PATH)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    l_ = t.select(
+        "conv_id", "turn_idx", "ts", F.lag("ts").over(w).alias("ts_prev")
+    )
+    g = l_.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("turn_idx").alias("n_distinct"),
+        F.min("turn_idx").alias("min_idx"),
+        F.max("turn_idx").alias("max_idx"),
+        F.sum(
+            (F.col("ts_prev").isNotNull() & (F.col("ts") < F.col("ts_prev")))
+            .cast("long")
+        ).alias("n_ts_inversions"),
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        (F.col("n_turns") - F.col("n_distinct")).alias("n_dup_idx"),
+        (F.col("max_idx").cast("long") - F.col("min_idx") + 1 - F.col("n_distinct")).alias("n_gaps"),
+        F.col("min_idx").cast("int").alias("min_idx"),
+        "n_ts_inversions",
+        (
+            (F.col("n_turns") == F.col("n_distinct"))
+            & (F.col("min_idx") == 0)
+            & (F.col("max_idx") == F.col("n_turns") - 1)
+            & (F.col("n_ts_inversions") == 0)
+        ).alias("well_formed"),
     )
 
 
@@ -1370,6 +1439,36 @@ def q_media_decode(spark, sf_dir):
     return decode_images(d, "doc_id", "payload")
 
 
+@query(
+    "q_audio_decode",
+    """
+    SELECT doc_id, 'wav' AS fmt,
+        CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+        CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        CAST(40 + doc_id % 16 AS INTEGER) AS n_frames,
+        CAST(40 + doc_id % 16 AS DOUBLE) * 1000.0
+            / (8000 + (doc_id % 3) * 4000) AS duration_ms,
+        list_avg(list_transform(range(40 + doc_id % 16),
+            t -> (7 * doc_id + 13 * t) % 65536 - 32768)) AS mean_ch0
+    FROM documents
+    """,
+)
+def q_audio_decode(spark, sf_dir):
+    """REAL audio decode (new r3, extending the un-stubbed codec set):
+    synthesize genuine PCM WAV bytes per doc (frame/channel/rate counts
+    and every int16 sample derived arithmetically from doc_id), then
+    parse them back with the from-scratch RIFF chunk-walk decoder
+    (operators/multimodal.py decode_wav). The oracle predicts header
+    fields, duration, and the exact channel-0 mean without seeing the
+    bytes — a wrong byte order, interleave, or chunk offset breaks the
+    hash. Reference analog: attachment content inspection,
+    src/modules/attachments/attachments.py:277-344."""
+    from ..operators.multimodal import decode_audio, synthesize_wav_payloads
+
+    d = synthesize_wav_payloads(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_audio(d, "doc_id", "payload")
+
+
 # ===========================================================================
 # Flagship: enriched transcript pipeline (generated turns, materialized
 # to parquet so the DuckDB oracle reads the IDENTICAL input)
@@ -1833,6 +1932,20 @@ def q_approx_distinct(spark, sf_dir):
             ).alias("approx_ok"),
         )
     )
+
+
+@query(
+    "q_kmv_distinct",
+    sketch.sql_kmv_distinct("events", "event_type", "event_id", k=64),
+)
+def q_kmv_distinct(spark, sf_dir):
+    """from-scratch KMV distinct sketch (k minimum md5 values,
+    estimate (k-1)/u_k) — unlike HLL the hash is engine-portable, so
+    the approximate estimate itself is hash-exact against the DuckDB
+    twin; sketches merge across shards by keeping bottom-k of the
+    union (new r3, operators/sketch.py)."""
+    e = _t(spark, sf_dir, "events")
+    return sketch.kmv_distinct(e, "event_type", "event_id", k=64)
 
 
 @query(

@@ -469,6 +469,106 @@ class TestMultimodal:
         rows = {r["doc_id"]: r for r in decode_images(corrupt).collect()}
         assert rows[1]["fmt"] is None and rows[2]["width"] is None
 
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        from spamscope_spark.operators.multimodal import decode_wav, encode_wav
+
+        s = (np.arange(24, dtype=np.int64).reshape(12, 2) * 997 - 5000).astype("<i2")
+        m = decode_wav(encode_wav(s, 16000))
+        assert (m["fmt"], m["n_channels"], m["sample_rate"]) == ("wav", 2, 16000)
+        assert (m["n_frames"], m["bits"]) == (12, 16)
+        assert m["duration_ms"] == pytest.approx(0.75)  # 12 frames / 16 kHz
+        assert m["mean_ch0"] == pytest.approx(s[:, 0].astype(float).mean())
+
+    def test_wav_chunk_walk_and_malformed(self):
+        """A LIST chunk (with odd-length word-alignment padding) before
+        `data` must not break parsing; non-PCM / truncated / non-RIFF
+        payloads must raise."""
+        import struct
+
+        import numpy as np
+
+        from spamscope_spark.operators.multimodal import decode_wav, encode_wav
+
+        s = np.ones((5, 1), dtype="<i2") * 7
+        wav = encode_wav(s, 8000)
+        # splice an odd-sized LIST chunk between fmt and data
+        fmt_end = 12 + 8 + 16
+        extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # pad byte
+        spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+        m = decode_wav(spliced)
+        assert m["n_frames"] == 5 and m["mean_ch0"] == 7.0
+        for bad in (b"", b"RIFFxxxxWAVE", wav[:-3], b"OggS" + wav[4:]):
+            with pytest.raises(ValueError):
+                decode_wav(bad)
+        # non-PCM format code
+        ieee = bytearray(wav)
+        ieee[20] = 3  # fmt chunk audio_format field
+        with pytest.raises(ValueError):
+            decode_wav(bytes(ieee))
+
+    def test_decode_audio_dataframe(self, spark):
+        """The q_audio_decode path end-to-end: synthesized RIFF bytes
+        parse back to the arithmetically-predicted stats; corrupt
+        payloads yield null columns, not task failure."""
+        from spamscope_spark.operators.multimodal import (
+            decode_audio,
+            synthesize_wav_payloads,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+        out = decode_audio(synthesize_wav_payloads(docs)).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        for d in range(7):
+            r = by_id[d]
+            n = 40 + d % 16
+            assert r["n_channels"] == 1 + d % 2
+            assert r["sample_rate"] == 8000 + (d % 3) * 4000
+            assert r["n_frames"] == n
+            want = sum((7 * d + 13 * t) % 65536 - 32768 for t in range(n)) / n
+            assert r["mean_ch0"] == pytest.approx(want)
+        corrupt = spark.createDataFrame(
+            [(1, bytearray(b"notawav")), (2, None)], "doc_id long, payload binary"
+        )
+        rows = {r["doc_id"]: r for r in decode_audio(corrupt).collect()}
+        assert rows[1]["fmt"] is None and rows[2]["n_frames"] is None
+
+
+class TestKmvSketch:
+    def test_estimate_accuracy_and_exact_small_groups(self, spark):
+        from spamscope_spark.operators.sketch import kmv_distinct
+
+        rows = [("big", f"v{i}") for i in range(5000)]
+        rows += [("small", f"s{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "grp string, val string")
+        out = {r["grp"]: r for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+        # a group under k distinct values is represented exactly
+        assert out["small"]["kmv_estimate"] == 10.0
+        assert out["small"]["rel_err"] == 0.0
+        # k=64 → expected rel error ~1/sqrt(64)=12.5%; 50% is a safe bound
+        assert out["big"]["n_exact"] == 5000
+        assert out["big"]["rel_err"] < 0.5
+
+    def test_prefilter_preserves_result(self, spark):
+        """The scale-path hash prefilter (keep h < k*2^48/N_lower) must
+        not change the estimate when N_lower is a true lower bound."""
+        from spamscope_spark.operators.sketch import HASH_SPACE, kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g", f"v{i}") for i in range(2000)], "grp string, val string"
+        )
+        full = kmv_distinct(df, "grp", "val", k=32).collect()[0]
+        # N_lower = 500 (true distinct is 2000): threshold keeps ~4x the
+        # sketch's need, guaranteed to include the 32 minima w.h.p. by
+        # construction (uniform hashing, margin 4x)
+        thr = int(32 * HASH_SPACE / 500)
+        pre = kmv_distinct(
+            df, "grp", "val", k=32, prefilter_max_hash=thr
+        ).collect()[0]
+        assert pre["kmv_estimate"] == full["kmv_estimate"]
+        assert pre["n_exact"] == full["n_exact"]
+
 
 class TestApproxDistinct:
     def test_hll_within_tolerance(self, spark):
