@@ -116,8 +116,9 @@ _GRADE_FIRST = [
     "q_seq_packing", "q_dsir_weights", "q_ccnet_buckets",
 ]
 # Round-3 late additions (q_tool_timeouts, q_bloom_decontaminate,
-# q_audio_decode, q_kmv_distinct, q_turn_integrity) register AFTER the
-# 50-slot window —
+# q_audio_decode, q_kmv_distinct, q_turn_integrity, q_cm_sketch,
+# q_weighted_sample, q_scd2_history, q_substring_dedup) register AFTER
+# the 50-slot window —
 # every window slot is already spoken for by a query with no prior
 # driver-graded row. They are hash-exact under the same gate locally
 # (tools/check_correctness.py) and rotate into the window next round.

@@ -1531,3 +1531,62 @@ def sql_ccnet_buckets(
              ELSE 'tail' END AS ppl_bucket
     FROM scores s CROSS JOIN cuts c
     """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement — Efraimidis–Spirakis A-Res
+# ---------------------------------------------------------------------------
+
+_HASH_SPACE_48 = float(1 << 48)
+
+
+def weighted_sample(
+    df: DataFrame, k: int, id_col: str = "doc_id", weight_col: str = "n_chars"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis 2006, A-Res): each row gets key ln(u)/w with u an
+    md5-derived uniform in (0,1); the k largest keys are the sample,
+    and P[row in sample] is proportional to its weight. ln(u)/w is the
+    rank-equivalent log form of the paper's u^(1/w) (ln is monotone,
+    1/w > 0) — it avoids pow() underflow at large weights.
+
+    Deterministic u (hash of the id, not rand()) makes the draw
+    reproducible across engines, partitionings, and reruns — the same
+    property stratified_sample relies on — so the selected id set is
+    oracle-checkable. Rows with null/non-positive weight are excluded
+    (zero weight = never sampled, matching the A-Res limit).
+
+    Scale shape: global top-k compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge at the driver side of the
+    exchange; the corpus never globally sorts. This IS the distributed
+    reservoir: each partition keeps k candidates, merge keeps k."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_HASH_SPACE_48)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(id_col, weight_col, key.alias("_ares_key"))
+        .orderBy(F.desc("_ares_key"), F.asc(id_col))
+        .limit(k)
+        .drop("_ares_key")
+    )
+
+
+def sql_weighted_sample(
+    table: str, k: int, id_col: str = "doc_id", weight_col: str = "n_chars"
+) -> str:
+    """DuckDB twin — identical hash→uniform→key arithmetic and
+    tie-break."""
+    u = (
+        f"(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 12) AS BIGINT)"
+        f" + 0.5) / {_HASH_SPACE_48}"
+    )
+    return f"""
+    SELECT {id_col}, {weight_col}
+    FROM {table}
+    WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+    ORDER BY ln({u}) / CAST({weight_col} AS DOUBLE) DESC, {id_col} ASC
+    LIMIT {k}
+    """

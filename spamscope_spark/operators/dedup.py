@@ -558,3 +558,114 @@ def simhash_dup_groups(
         .agg(F.min("doc").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup — rolling fixed-width window hashes
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 12
+) -> DataFrame:
+    """Exact substring duplication, Spark-first recast of the
+    suffix-array pass in Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): a span is duplicated iff some
+    `window`-word substring of it appears verbatim in another document.
+    Rolling window hashes at stride 1 detect exactly the spans a
+    suffix array of matches >= `window` words would — without the
+    non-distributable global suffix sort.
+
+    Per doc: n_windows (positions), n_shared (positions whose window
+    text occurs in >= 2 distinct docs), dup_substring_frac. Docs
+    shorter than `window` words have 0 windows and a null fraction
+    (never a fabricated gram).
+
+    Scale shape: explode to (doc, whash) with per-position counts
+    pre-aggregated map-side; sharedness is a groupBy on the 32-char
+    hash (counts only — window *text* never shuffles); one equi-join
+    back on whash. Hot boilerplate windows are bounded rows, not pair
+    expansions."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    cnt = F.size(toks)
+    starts = F.when(cnt >= window, F.sequence(F.lit(1), cnt - window + 1)).otherwise(
+        F.array()
+    )
+    wins = F.transform(
+        starts, lambda i: F.md5(F.array_join(F.slice(toks, i, window), " "))
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), wins.alias("wins"))
+    per_doc_hash = (
+        base.select("doc_id", F.explode("wins").alias("whash"))
+        .groupBy("doc_id", "whash")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+    )
+    shared = (
+        per_doc_hash.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("whash")
+    )
+    dup_pos = (
+        per_doc_hash.join(shared, on="whash", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pos").alias("n_shared"))
+    )
+    totals = base.select("doc_id", F.size("wins").alias("n_windows"))
+    return totals.join(dup_pos, on="doc_id", how="left").select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.when(F.col("n_windows") > 0, F.coalesce(F.col("n_shared"), F.lit(0)))
+        .cast("long")
+        .alias("n_shared"),
+        F.when(
+            F.col("n_windows") > 0,
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                / F.col("n_windows").cast("double"),
+                6,
+            ),
+        ).alias("dup_substring_frac"),
+    )
+
+
+def sql_substring_dup_stats(
+    table: str, id_col: str = "doc_id", text_col: str = "text", window: int = 12
+) -> str:
+    """DuckDB twin — identical tokenization, window hashing, and null
+    semantics for short docs."""
+    toks = (
+        f"list_filter(string_split_regex(trim(lower(coalesce({text_col}, ''))),"
+        f" '\\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS doc_id,
+            CASE WHEN len({toks}) >= {window}
+                 THEN list_transform(range(1, len({toks}) - {window} + 2),
+                      i -> md5(array_to_string(
+                          list_slice({toks}, i, i + {window} - 1), ' ')))
+                 ELSE [] END AS wins
+        FROM {table}
+    ), per_doc_hash AS (
+        SELECT doc_id, whash, CAST(COUNT(*) AS BIGINT) AS n_pos
+        FROM base, unnest(wins) u(whash) GROUP BY doc_id, whash
+    ), shared AS (
+        SELECT whash FROM per_doc_hash GROUP BY whash HAVING COUNT(*) >= 2
+    ), dup_pos AS (
+        SELECT doc_id, SUM(n_pos) AS n_shared
+        FROM per_doc_hash WHERE whash IN (SELECT whash FROM shared)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+        CAST(len(b.wins) AS BIGINT) AS n_windows,
+        CASE WHEN len(b.wins) > 0
+             THEN CAST(COALESCE(d.n_shared, 0) AS BIGINT) END AS n_shared,
+        CASE WHEN len(b.wins) > 0
+             THEN round(COALESCE(d.n_shared, 0) / CAST(len(b.wins) AS DOUBLE), 6)
+        END AS dup_substring_frac
+    FROM base b LEFT JOIN dup_pos d USING (doc_id)
+    """

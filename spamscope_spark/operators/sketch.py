@@ -111,3 +111,113 @@ def sql_kmv_distinct(
         round(abs(est.e - exact.n_exact) / exact.n_exact, 6) AS rel_err
     FROM est JOIN exact USING (grp)
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation (Cormode & Muthukrishnan
+# 2005, "An improved data stream summary: the count-min sketch").
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch(df: DataFrame, value_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Build a depth×width count-min sketch over a value column.
+
+    Returns one row per non-empty cell: (row_j, cell, cnt). Cell
+    addressing is md5-derived (hash of "j|value" mod width) so the
+    sketch is bit-reproducible across engines and runs. The sketch is
+    MERGEABLE: two sketches over disjoint shards combine by cell-wise
+    sum — the contract that lets 10^5 map tasks each keep d×w longs and
+    a single reduce produce the corpus sketch without reshuffling raw
+    values.
+
+    Scale shape: one groupBy on (row_j, cell) whose output cardinality
+    is bounded by depth*width regardless of input size — partial
+    aggregation collapses it map-side, so the exchange carries at most
+    depth*width rows per task. No raw value ever shuffles."""
+    v = F.col(value_col).cast("string")
+    cells = F.array(
+        *[(_h48(F.concat(F.lit(f"{j}|"), v)) % width).cast("int") for j in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(cells).alias("row_j", "cell"))
+        .groupBy("row_j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimates(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 50,
+) -> DataFrame:
+    """Heavy-hitter frequencies via the count-min sketch, compared
+    against the exact counts: for the top_n most frequent values,
+    return (value, n_exact, cm_estimate, overcount).
+
+    The CM estimate is min over the value's depth cells — an upper
+    bound on the true count (one-sided error: overcount >= 0 always,
+    which the test suite asserts as an algebraic invariant). The
+    sketch side is a broadcast join: depth*width rows joined to the
+    candidate set, never the reverse."""
+    sk = cm_sketch(df, value_col, depth, width)
+    v = F.col(value_col).cast("string")
+    exact = (
+        df.select(v.alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("value"))
+        .limit(top_n)
+    )
+    cells = F.array(
+        *[
+            (_h48(F.concat(F.lit(f"{j}|"), F.col("value"))) % width).cast("int")
+            for j in range(depth)
+        ]
+    )
+    probes = exact.select("value", "n_exact", F.posexplode(cells).alias("row_j", "cell"))
+    est = (
+        probes.join(F.broadcast(sk), on=["row_j", "cell"], how="left")
+        .groupBy("value", "n_exact")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
+    )
+    return est.select(
+        "value",
+        "n_exact",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
+    )
+
+
+def sql_cm_estimates(
+    table: str, value_expr: str, depth: int = 4, width: int = 256, top_n: int = 50
+) -> str:
+    """DuckDB twin — identical cell addressing, counts, and min-of-rows
+    estimator."""
+    h = (
+        "CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || v), 1, 12) AS BIGINT)"
+        f" % {width}"
+    )
+    return f"""
+    WITH vals AS (
+        SELECT CAST({value_expr} AS VARCHAR) AS v FROM {table}
+    ), cells AS (
+        SELECT j, {h} AS cell, COUNT(*) AS cnt
+        FROM vals, range({depth}) r(j) GROUP BY 1, 2
+    ), exact AS (
+        SELECT v AS value, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM vals GROUP BY v
+        ORDER BY n_exact DESC, value ASC LIMIT {top_n}
+    ), probes AS (
+        SELECT e.value, e.n_exact, r.j,
+            CAST('0x' || substr(md5(CAST(r.j AS VARCHAR) || '|' || e.value), 1, 12)
+                 AS BIGINT) % {width} AS cell
+        FROM exact e, range({depth}) r(j)
+    )
+    SELECT p.value, p.n_exact,
+        CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate,
+        CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) - p.n_exact AS overcount
+    FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.cell = c.cell
+    GROUP BY p.value, p.n_exact
+    """

@@ -32,6 +32,7 @@ from ..operators import (
     dedup,
     graph,
     joins,
+    scd,
     search,
     sessionize,
     similarity,
@@ -1949,6 +1950,40 @@ def q_kmv_distinct(spark, sf_dir):
 
 
 @query(
+    "q_scd2_history",
+    scd.sql_scd2_from_changes("events"),
+)
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 dimension build (new r3): collapse the per-user event
+    stream into versioned [valid_from, valid_to) attribute history with
+    is_current on the open interval — the point-in-time-join substrate
+    that makes feature backfills leakage-free. The reference's ES
+    output overwrites in place (src/outputs/output_elasticsearch.py);
+    this is the history-preserving alternative. Two windows sharing one
+    (user_id) partitioning — a single shuffle; skew bounded by
+    per-entity history length, not corpus size."""
+    e = _t(spark, sf_dir, "events")
+    return scd.scd2_from_changes(e)
+
+
+@query(
+    "q_cm_sketch",
+    sketch.sql_cm_estimates("events", "user_id", depth=4, width=256, top_n=50),
+)
+def q_cm_sketch(spark, sf_dir):
+    """from-scratch count-min sketch frequency estimation (Cormode &
+    Muthukrishnan 2005): heavy-user event counts estimated from a
+    mergeable depth*width counter table with md5 cell addressing, so
+    the approximate estimates are hash-exact against the DuckDB twin.
+    One-sided error (overcount >= 0) is part of the checked output.
+    Scale shape: the sketch groupBy's output is bounded at depth*width
+    rows no matter the input size — partial agg collapses it map-side;
+    raw values never shuffle (new r3, operators/sketch.py)."""
+    e = _t(spark, sf_dir, "events")
+    return sketch.cm_estimates(e, "user_id", depth=4, width=256, top_n=50)
+
+
+@query(
     "q_percentiles",
     """
     SELECT event_type,
@@ -2489,6 +2524,36 @@ def q_stratified_sample(spark, sf_dir):
     return corpus.stratified_sample(d, _STRATA_RATES, default_rate=0.1).select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "q_substring_dedup",
+    dedup.sql_substring_dup_stats("documents", window=12),
+)
+def q_substring_dedup(spark, sf_dir):
+    """exact substring dedup (new r3) — the suffix-array pass of Lee et
+    al. 2022 recast as rolling 12-word window hashes at stride 1: a
+    position is duplicated iff its window text appears verbatim in
+    another document. Window *text* never shuffles (32-char hashes +
+    counts only); sharedness is one groupBy on the hash; short docs get
+    null fractions, never fabricated grams."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.substring_dup_stats(d, window=12)
+
+
+@query(
+    "q_weighted_sample",
+    corpus.sql_weighted_sample("documents", k=40),
+)
+def q_weighted_sample(spark, sf_dir):
+    """weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res, new r3): inclusion probability proportional to document
+    length, key = ln(md5-uniform)/weight so the draw is reproducible
+    and oracle-checkable. Global top-k compiles to
+    TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    never a global sort: the distributed-reservoir shape."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.weighted_sample(d, k=40)
 
 
 @query(

@@ -570,6 +570,173 @@ class TestKmvSketch:
         assert pre["n_exact"] == full["n_exact"]
 
 
+class TestCountMinSketch:
+    def test_one_sided_error_and_exactness_when_wide(self, spark):
+        from spamscope_spark.operators.sketch import cm_estimates
+
+        rows = [(f"v{i % 40}",) for i in range(4000)]  # 40 values, 100 each
+        df = spark.createDataFrame(rows, "val string")
+        out = cm_estimates(df, "val", depth=4, width=1024, top_n=40).collect()
+        assert len(out) == 40
+        for r in out:
+            # CM never undercounts (min of upper-bound cells)
+            assert r["overcount"] >= 0
+            assert r["cm_estimate"] >= r["n_exact"] == 100
+        # 40 values in 1024 cells x 4 rows: some row is collision-free
+        # for most values; estimates stay tight
+        assert sum(r["overcount"] for r in out) == 0
+
+    def test_sketch_merge_is_cellwise_sum(self, spark):
+        """bottom-line mergeability law: sketch(A ∪ B) == cell-wise sum
+        of sketch(A) + sketch(B) — what lets shards combine without
+        reshuffling raw values."""
+        from spamscope_spark.operators.sketch import cm_sketch
+
+        a = spark.createDataFrame([(f"a{i % 7}",) for i in range(300)], "val string")
+        b = spark.createDataFrame([(f"b{i % 11}",) for i in range(500)], "val string")
+        merged = (
+            cm_sketch(a, "val", 4, 64)
+            .unionByName(cm_sketch(b, "val", 4, 64))
+            .groupBy("row_j", "cell")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = cm_sketch(a.unionByName(b), "val", 4, 64)
+        key = lambda r: (r["row_j"], r["cell"])  # noqa: E731
+        assert {key(r): r["cnt"] for r in merged.collect()} == {
+            key(r): r["cnt"] for r in whole.collect()
+        }
+
+
+class TestSubstringDedup:
+    def test_planted_shared_span_and_null_semantics(self, spark):
+        from spamscope_spark.operators.dedup import substring_dup_stats
+
+        span = " ".join(f"w{i}" for i in range(6))  # 6-word shared span
+        docs = [
+            (1, f"alpha beta {span} gamma delta"),          # 10 words
+            (2, f"one two three {span} four"),              # 10 words
+            (3, "totally unrelated text with enough words here ok"),  # 8 words
+            (4, "short doc"),                               # < window -> null
+            (5, None),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in substring_dup_stats(df, window=6).collect()}
+        # doc1: 5 windows; exactly the one aligned on the span is shared
+        assert out[1]["n_windows"] == 5 and out[1]["n_shared"] == 1
+        assert out[1]["dup_substring_frac"] == pytest.approx(0.2)
+        assert out[2]["n_shared"] == 1
+        assert out[3]["n_shared"] == 0 and out[3]["dup_substring_frac"] == 0.0
+        for d in (4, 5):
+            assert out[d]["n_windows"] == 0
+            assert out[d]["n_shared"] is None
+            assert out[d]["dup_substring_frac"] is None
+
+    def test_repeated_window_within_one_doc_not_cross_doc(self, spark):
+        """A window repeated inside a single doc is NOT cross-doc
+        duplication (sharedness counts distinct docs, not occurrences)."""
+        from spamscope_spark.operators.dedup import substring_dup_stats
+
+        rep = " ".join(["a b c"] * 4)  # 'a b c a b c ...' repeats 3-grams
+        df = spark.createDataFrame(
+            [(1, rep), (2, "x y z p q r s t")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in substring_dup_stats(df, window=3).collect()}
+        assert out[1]["n_shared"] == 0
+
+
+class TestScd2:
+    def _feed(self, spark, rows):
+        return spark.createDataFrame(
+            [(u, a, __import__("datetime").datetime(2026, 1, 1, 0, 0, s), i)
+             for i, (u, a, s) in enumerate(rows)],
+            "user_id long, event_type string, ts timestamp, event_id long",
+        )
+
+    def test_run_collapse_versions_and_intervals(self, spark):
+        from spamscope_spark.operators.scd import scd2_from_changes
+
+        feed = self._feed(
+            spark,
+            [(1, "a", 0), (1, "a", 1), (1, "b", 2), (1, "a", 3), (2, "x", 0)],
+        )
+        out = sorted(
+            scd2_from_changes(feed).collect(),
+            key=lambda r: (r["user_id"], r["version"]),
+        )
+        u1 = [r for r in out if r["user_id"] == 1]
+        assert [r["event_type"] for r in u1] == ["a", "b", "a"]
+        assert [r["version"] for r in u1] == [1, 2, 3]
+        # intervals tile: each valid_to == next valid_from; only last open
+        assert u1[0]["valid_to"] == u1[1]["valid_from"]
+        assert u1[1]["valid_to"] == u1[2]["valid_from"]
+        assert [r["is_current"] for r in u1] == [False, False, True]
+        assert len([r for r in out if r["user_id"] == 2]) == 1
+
+    def test_incremental_apply_equals_batch_build(self, spark):
+        """Fold law: init(b1) |> apply(b2) |> apply(b3) == build(b1+b2+b3),
+        including a batch row equal to the entity's current value (no
+        new version) and untouched entities passing through."""
+        from spamscope_spark.operators.scd import (
+            init_scd2_dim,
+            scd2_apply,
+            scd2_from_changes,
+        )
+
+        rows = [
+            (1, "a", 0), (1, "b", 2), (2, "x", 1), (3, "q", 0),   # batch 1
+            (1, "b", 4), (2, "y", 5),                             # batch 2: 1 is no-op
+            (1, "c", 6), (4, "new", 7),                           # batch 3
+        ]
+        b1, b2, b3 = rows[:4], rows[4:6], rows[6:]
+        dim = init_scd2_dim(self._feed(spark, b1))
+        # event_id must keep the global arrival order across batches
+        all_feed = self._feed(spark, rows)
+        n1 = len(b1)
+        f2 = all_feed.where(F.col("event_id").isin(*range(n1, n1 + len(b2))))
+        f3 = all_feed.where(F.col("event_id") >= n1 + len(b2))
+        dim = scd2_apply(scd2_apply(dim, f2), f3)
+        want = scd2_from_changes(all_feed, with_seq=True)
+        key = lambda r: tuple(str(r[c]) for c in sorted(r.asDict()))  # noqa: E731
+        assert sorted(map(key, dim.collect())) == sorted(map(key, want.collect()))
+        # the no-op row for user 1 opened no version at ts=4
+        u1 = [r for r in dim.collect() if r["user_id"] == 1]
+        assert sorted(r["event_type"] for r in u1) == ["a", "b", "c"]
+
+
+class TestWeightedSample:
+    def test_matches_bruteforce_and_is_weight_monotone(self, spark):
+        import hashlib
+        import math
+
+        from spamscope_spark.operators.sketch import HASH_SPACE
+        from spamscope_spark.operators.corpus import weighted_sample
+
+        rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+        rows += [(900, 0), (901, None)]  # excluded: non-positive / null weight
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = {r["doc_id"] for r in weighted_sample(df, 25).collect()}
+
+        def key(i, w):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+            return math.log((h + 0.5) / HASH_SPACE) / w
+
+        want = {
+            i for i, _ in sorted(
+                ((i, key(i, w)) for i, w in rows if w), key=lambda t: (-t[1], t[0])
+            )[:25]
+        }
+        assert got == want and 900 not in got and 901 not in got
+
+    def test_huge_weight_always_sampled(self, spark):
+        from spamscope_spark.operators.corpus import weighted_sample
+
+        rows = [(i, 1) for i in range(1000)] + [(5000, 10**9)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = {r["doc_id"] for r in weighted_sample(df, 5).collect()}
+        # ln(u)/w -> 0- as w -> inf: the giant-weight row dominates
+        assert 5000 in got
+
+
 class TestApproxDistinct:
     def test_hll_within_tolerance(self, spark):
         """approx_count_distinct (rsd=0.02) stays within 5% of exact —
