@@ -566,7 +566,11 @@ def simhash_dup_groups(
 
 
 def substring_dup_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 12
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 12,
+    reuse: str = "persist",
 ) -> DataFrame:
     """Exact substring duplication, Spark-first recast of the
     suffix-array pass in Lee et al. 2022 ("Deduplicating Training Data
@@ -581,11 +585,19 @@ def substring_dup_stats(
     shorter than `window` words have 0 windows and a null fraction
     (never a fabricated gram).
 
-    Scale shape: explode to (doc, whash) with per-position counts
+    Scale shape: explode_outer to (doc, whash) (empty docs keep a
+    null-whash row so they reach the output), per-position counts
     pre-aggregated map-side; sharedness is a groupBy on the 32-char
     hash (counts only — window *text* never shuffles); one equi-join
-    back on whash. Hot boilerplate windows are bounded rows, not pair
-    expansions."""
+    back on whash. Hot boilerplate windows are bounded rows with
+    partial aggregation, not pair expansions or single-task window
+    partitions. The (doc, whash) pre-agg feeds both the sharedness agg
+    and the join's left side; Catalyst pushes the sharedness branch's
+    null filter below the pre-agg, which breaks exchange reuse and
+    would hash the corpus twice — so reuse='persist' (default)
+    persists the narrow pre-agg (hash + id + count, far smaller than
+    the text) for the duration of the job; reuse='recompute' trades
+    that memory/disk for a second scan+hash pass."""
     toks = F.filter(
         F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
         lambda x: x != "",
@@ -597,37 +609,47 @@ def substring_dup_stats(
     wins = F.transform(
         starts, lambda i: F.md5(F.array_join(F.slice(toks, i, window), " "))
     )
-    base = df.select(F.col(id_col).alias("doc_id"), wins.alias("wins"))
     per_doc_hash = (
-        base.select("doc_id", F.explode("wins").alias("whash"))
+        df.select(
+            F.col(id_col).alias("doc_id"), F.explode_outer(wins).alias("whash")
+        )
         .groupBy("doc_id", "whash")
         .agg(F.count(F.lit(1)).alias("n_pos"))
     )
+    if reuse == "persist":
+        from pyspark import StorageLevel
+
+        per_doc_hash = per_doc_hash.persist(StorageLevel.MEMORY_AND_DISK)
     shared = (
-        per_doc_hash.groupBy("whash")
+        per_doc_hash.where(F.col("whash").isNotNull())
+        .groupBy("whash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
-        .select("whash")
+        .select("whash", F.lit(True).alias("is_shared"))
     )
-    dup_pos = (
-        per_doc_hash.join(shared, on="whash", how="left_semi")
+    pos_valid = F.when(F.col("whash").isNotNull(), F.col("n_pos")).otherwise(F.lit(0))
+    per_doc = (
+        # plain equi-join: the shared-hash set is corpus-sized in the
+        # worst case (boilerplate), so it must be allowed to shuffle;
+        # AQE downgrades to broadcast when the set turns out small
+        per_doc_hash.join(shared, on="whash", how="left")
         .groupBy("doc_id")
-        .agg(F.sum("n_pos").alias("n_shared"))
+        .agg(
+            F.sum(pos_valid).alias("n_windows"),
+            F.sum(F.when(F.col("is_shared"), F.col("n_pos")).otherwise(F.lit(0))).alias(
+                "n_shared_raw"
+            ),
+        )
     )
-    totals = base.select("doc_id", F.size("wins").alias("n_windows"))
-    return totals.join(dup_pos, on="doc_id", how="left").select(
+    return per_doc.select(
         "doc_id",
         F.col("n_windows").cast("long").alias("n_windows"),
-        F.when(F.col("n_windows") > 0, F.coalesce(F.col("n_shared"), F.lit(0)))
+        F.when(F.col("n_windows") > 0, F.col("n_shared_raw"))
         .cast("long")
         .alias("n_shared"),
         F.when(
             F.col("n_windows") > 0,
-            F.round(
-                F.coalesce(F.col("n_shared"), F.lit(0))
-                / F.col("n_windows").cast("double"),
-                6,
-            ),
+            F.round(F.col("n_shared_raw") / F.col("n_windows").cast("double"), 6),
         ).alias("dup_substring_frac"),
     )
 
