@@ -503,6 +503,49 @@ def windowed_rates(
     )
 
 
+def windowed_cm_sketch(
+    df: DataFrame,
+    window_s: int = 600,
+    value_col: str = "tool",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Per-tumbling-window count-min sketch of a value stream (tool
+    usage by default): one (window, row_j, cell, cnt) row per non-empty
+    sketch cell. The per-window state the stream carries is bounded at
+    depth*width counters regardless of how many distinct values the
+    window sees — the streaming analog of q_cm_sketch's batch shape,
+    and the mergeability law (cell-wise sum) is exactly what lets a
+    downstream consumer combine windows/epochs into coarser sketches
+    without replaying the stream. Append mode emits a window's cells
+    once the watermark passes window.end."""
+    from ..operators.sketch import _h48
+
+    v = F.col(value_col).cast("string")
+    cells = F.array(
+        *[
+            (_h48(F.concat(F.lit(f"{j}|"), v)) % width).cast("int")
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(
+            F.window("ts", f"{window_s} seconds").alias("w"),
+            F.posexplode(cells).alias("row_j", "cell"),
+        )
+        .groupBy("w", "row_j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "row_j",
+            "cell",
+            "cnt",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # query assembly
 # ---------------------------------------------------------------------------
@@ -711,6 +754,31 @@ def start_timeout_query(
         .option("checkpointLocation", cfg.checkpoint("tool_timeouts"))
         .outputMode("append")
         .queryName("tool_timeouts")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def start_cm_sketch_query(
+    spark: SparkSession, cfg: PipelineConfig, available_now: bool = True,
+    depth: int = 4, width: int = 64,
+):
+    """Per-window count-min sketches of tool usage, exactly-once:
+    bounded depth*width state per window, cells mergeable across
+    windows/epochs by cell-wise sum."""
+    _apply_state_store(spark, cfg)
+    sink = IdempotentSink(
+        cfg.output("cm_sketch"), keys=["window_start", "row_j", "cell"]
+    )
+    df = windowed_cm_sketch(
+        _session_input(spark, cfg), window_s=cfg.window_s, depth=depth, width=width
+    )
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cfg.checkpoint("cm_sketch"))
+        .outputMode("append")
+        .queryName("cm_sketch")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

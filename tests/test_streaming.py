@@ -937,3 +937,51 @@ class TestCepStream:
         assert advance_key(ks, 20, 10**9) == []  # E still above wm
         assert ks[0] == [(50, 2, "E")]
         assert advance_key(ks, 60, 10**9) == [(1, 2, 0, 0)]
+
+
+class TestWindowedCmSketch:
+    def test_stream_cells_match_batch_and_merge_law(self, spark, cfg):
+        from spamscope_spark.streaming.pipeline import (
+            start_cm_sketch_query,
+            windowed_cm_sketch,
+        )
+
+        query, sink = start_cm_sketch_query(spark, cfg)
+        query.awaitTermination(300)
+        got = {
+            (r["window_start"], r["row_j"], r["cell"]): r["cnt"]
+            for r in sink.read_merged(spark).collect()
+        }
+        assert len(got) > 0
+        batch = windowed_cm_sketch(
+            enrich_turns(spark.read.parquet(cfg.input_path), dedup_flag=False),
+            window_s=cfg.window_s,
+        ).collect()
+        exp = {
+            (r["window_start"], r["row_j"], r["cell"]): r["cnt"] for r in batch
+        }
+        # append mode emits only watermark-closed windows: subset, equal
+        for k, v in got.items():
+            assert exp[k] == v, k
+        # merge law: summing every window's cells == the sketch of the
+        # whole (windowless) stream — epochs combine without replay
+        from spamscope_spark.operators.sketch import cm_sketch
+
+        whole = cm_sketch(
+            enrich_turns(spark.read.parquet(cfg.input_path), dedup_flag=False)
+            .where(F.col("tool").isNotNull())
+            .select(F.col("tool").cast("string").alias("v")),
+            "v",
+            depth=4,
+            width=64,
+        )
+        merged: dict = {}
+        for (_, j, c), v in exp.items():
+            merged[(j, c)] = merged.get((j, c), 0) + v
+        assert merged == {
+            (r["row_j"], r["cell"]): r["cnt"] for r in whole.collect()
+        }
+        # restart with same checkpoint: no duplicate cells
+        q2, sink2 = start_cm_sketch_query(spark, cfg)
+        q2.awaitTermination(300)
+        assert sink2.read_merged(spark).count() == len(got)
