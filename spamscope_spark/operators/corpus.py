@@ -1590,3 +1590,55 @@ def sql_weighted_sample(
     ORDER BY ln({u}) / CAST({weight_col} AS DOUBLE) DESC, {id_col} ASC
     LIMIT {k}
     """
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum A-Res: the k largest ln(u)/w keys within each group
+    — balanced per-language subcorpora where global weighted sampling
+    would let a dominant stratum crowd out the tail. Same deterministic
+    key as `weighted_sample`; one window per group partition (hash
+    shuffle on the group key, skew bounded by stratum size)."""
+    from pyspark.sql import Window as W
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_HASH_SPACE_48)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = W.partitionBy(group_col).orderBy(F.desc(key), F.asc(id_col))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= k)
+        .select(group_col, id_col, weight_col)
+    )
+
+
+def sql_weighted_sample_per_group(
+    table: str,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> str:
+    u = (
+        f"(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 12) AS BIGINT)"
+        f" + 0.5) / {_HASH_SPACE_48}"
+    )
+    return f"""
+    SELECT {group_col}, {id_col}, {weight_col} FROM (
+        SELECT {group_col}, {id_col}, {weight_col},
+            row_number() OVER (
+                PARTITION BY {group_col}
+                ORDER BY ln({u}) / CAST({weight_col} AS DOUBLE) DESC, {id_col} ASC
+            ) AS rnk
+        FROM {table}
+        WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+    ) WHERE rnk <= {k}
+    """

@@ -154,3 +154,61 @@ def init_scd2_dim(
     return scd2_from_changes(
         changes, entity_col, attr_col, ts_col, seq_col, with_seq=True
     )
+
+
+def scd2_point_in_time(
+    facts: DataFrame,
+    dim: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension: each fact row
+    picks the version whose [valid_from, valid_to) interval contains
+    its timestamp — the leakage-free feature join for training-data
+    backfills (a fact never sees attribute values from its future).
+
+    Implemented as the sort-merge union+window as-of form (one shuffle
+    on the entity key, no interval pair expansion): dimension versions
+    and facts interleave in (entity, ts) order, each fact inherits the
+    last version at-or-before it, and a validity check nulls out facts
+    before the entity's first version."""
+    from pyspark.sql import Window as W
+
+    d = dim.select(
+        F.col(entity_col),
+        F.col("valid_from").alias("_ts"),
+        F.lit(0).alias("_kind"),  # versions sort before same-ts facts
+        F.col("attr").alias("_attr") if "attr" in dim.columns else F.col(
+            dim.columns[1]
+        ).alias("_attr"),
+        F.col("version").alias("_version"),
+    )
+    f = facts.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast("string").alias("_attr"),
+        F.lit(None).cast("int").alias("_version"),
+        *[F.col(c) for c in facts.columns if c not in (entity_col, ts_col)],
+    )
+    merged = d.unionByName(f, allowMissingColumns=True)
+    # _version in the ordering: when two versions open at the same
+    # timestamp (tied change feed), the higher version wins — matching
+    # interval semantics, where the earlier one is zero-length
+    w = (
+        W.partitionBy(entity_col)
+        .orderBy("_ts", "_kind", F.col("_version").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = merged.select(
+        "*",
+        F.last("_attr", ignorenulls=True).over(w).alias("attr_asof"),
+        F.last("_version", ignorenulls=True).over(w).alias("version_asof"),
+    ).where(F.col("_kind") == 1)
+    return out.select(
+        entity_col,
+        F.col("_ts").alias(ts_col),
+        *[c for c in facts.columns if c not in (entity_col, ts_col)],
+        "attr_asof",
+        "version_asof",
+    )

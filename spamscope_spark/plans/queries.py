@@ -1967,6 +1967,47 @@ def q_scd2_history(spark, sf_dir):
 
 
 @query(
+    "q_scd2_pit",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+            lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+        FROM events
+    ), runs AS (
+        SELECT * FROM ordered WHERE prev IS NULL OR event_type <> prev
+    ), dim AS (
+        SELECT user_id, event_type AS attr, ts AS valid_from,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS valid_to,
+            CAST(row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS INTEGER)
+                AS version
+        FROM runs
+    )
+    SELECT f.user_id, f.ts, f.event_id,
+        d.attr AS attr_asof, d.version AS version_asof
+    FROM (SELECT * FROM events WHERE event_id % 17 = 0) f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def q_scd2_pit(spark, sf_dir):
+    """point-in-time lookup against the SCD2 dimension (new r3): each
+    fact row picks the version valid at its own timestamp — the
+    leakage-free feature join for training backfills. Spark side is the
+    sort-merge union+window as-of form (ONE shuffle on the entity key,
+    no interval pair expansion); the oracle is the naive interval range
+    join, so the hash check proves the two formulations coincide."""
+    e = _t(spark, sf_dir, "events")
+    dim = scd.scd2_from_changes(e)
+    facts = e.where(F.col("event_id") % 17 == 0).select("user_id", "ts", "event_id")
+    return scd.scd2_point_in_time(facts, dim)
+
+
+@query(
     "q_cm_sketch",
     sketch.sql_cm_estimates("events", "user_id", depth=4, width=256, top_n=50),
 )
@@ -2554,6 +2595,19 @@ def q_weighted_sample(spark, sf_dir):
     never a global sort: the distributed-reservoir shape."""
     d = _t(spark, sf_dir, "documents")
     return corpus.weighted_sample(d, k=40)
+
+
+@query(
+    "q_group_weighted_sample",
+    corpus.sql_weighted_sample_per_group("documents", k=15),
+)
+def q_group_weighted_sample(spark, sf_dir):
+    """per-stratum A-Res (new r3): the k best weighted-sample keys
+    within each language — balanced subcorpora where the global draw
+    would let a dominant stratum crowd out the tail. One window per
+    group partition; skew bounded by stratum size."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.weighted_sample_per_group(d, k=15)
 
 
 @query(

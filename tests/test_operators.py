@@ -672,6 +672,27 @@ class TestScd2:
         assert [r["is_current"] for r in u1] == [False, False, True]
         assert len([r for r in out if r["user_id"] == 2]) == 1
 
+    def test_point_in_time_never_leaks_future_values(self, spark):
+        import datetime as dt
+
+        from spamscope_spark.operators.scd import (
+            scd2_from_changes,
+            scd2_point_in_time,
+        )
+
+        feed = self._feed(spark, [(1, "old", 10), (1, "new", 20)])
+        dim = scd2_from_changes(feed)
+        t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+        facts = spark.createDataFrame(
+            [(1, t(19), 100), (1, t(20), 101), (1, t(25), 102)],
+            "user_id long, ts timestamp, fact_id long",
+        )
+        out = {r["fact_id"]: r for r in scd2_point_in_time(facts, dim).collect()}
+        assert out[100]["attr_asof"] == "old"      # 1s before the change
+        assert out[101]["attr_asof"] == "new"      # boundary: inclusive start
+        assert out[102]["attr_asof"] == "new"
+        assert (out[100]["version_asof"], out[101]["version_asof"]) == (1, 2)
+
     def test_incremental_apply_equals_batch_build(self, spark):
         """Fold law: init(b1) |> apply(b2) |> apply(b3) == build(b1+b2+b3),
         including a batch row equal to the entity's current value (no
