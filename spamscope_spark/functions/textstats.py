@@ -253,3 +253,44 @@ def sql_doc_fingerprint(text_expr: str, shingle_words: int = 5, k: int = 4) -> s
         f"list_slice({toks}, i, i + {shingle_words - 1}), ' ')))"
     )
     return f"array_to_string(list_slice(list_sort({hashes}), 1, {k}), '')"
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    garbage detector quality signals like Gopher/RefinedWeb pair with
+    repetition stats: natural language sits ~3.5-4.5 bits/char,
+    base64/hex blobs higher, single-char padding near 0. Null for
+    empty/null text.
+
+    Pure array expressions (codegen, no explode, no shuffle): distinct
+    chars → per-char counts → -Σ p·log2(p), O(distinct·n) per row with
+    distinct bounded by the alphabet."""
+    chars = F.split(F.coalesce(text, F.lit("")), "")
+    chars = F.filter(chars, lambda c: c != "")
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    p = F.transform(counts, lambda cnt: cnt.cast("double") / n.cast("double"))
+    ent = -F.aggregate(
+        p,
+        F.lit(0.0),
+        lambda acc, x: acc + x * F.log2(x),
+    )
+    return F.when(n > 0, F.round(ent, 6))
+
+
+def sql_char_entropy(text_expr: str) -> str:
+    """DuckDB twin — identical distinct/count/Σ arithmetic and
+    rounding."""
+    chars = f"list_filter(string_split(coalesce({text_expr}, ''), ''), c -> c <> '')"
+    return f"""
+    CASE WHEN len({chars}) > 0 THEN round(
+        -list_sum(list_transform(list_distinct({chars}),
+            c -> (len(list_filter({chars}, x -> x = c))
+                  / CAST(len({chars}) AS DOUBLE))
+                 * log2(len(list_filter({chars}, x -> x = c))
+                        / CAST(len({chars}) AS DOUBLE)))), 6)
+    END
+    """

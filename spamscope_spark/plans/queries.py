@@ -731,6 +731,26 @@ def q_lang_id(spark, sf_dir):
 
 
 @query(
+    "q_char_entropy",
+    f"""
+    SELECT doc_id, {textstats.sql_char_entropy('text')} AS entropy_bits,
+        {textstats.sql_char_entropy('text')} < 2.0 AS low_entropy
+    FROM documents
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """character-distribution Shannon entropy (new r3): the
+    garbage/binary-blob detector that complements repetition stats —
+    natural text sits ~3.5-4.5 bits/char, padding near 0. Pure array
+    exprs in codegen: no explode, no shuffle, O(alphabet·n) per row."""
+    d = _t(spark, sf_dir, "documents")
+    ent = textstats.char_entropy(F.col("text"))
+    return d.select(
+        "doc_id", ent.alias("entropy_bits"), (ent < 2.0).alias("low_entropy")
+    )
+
+
+@query(
     "q_quality_score",
     f"""
     SELECT doc_id, {textstats.sql_quality_score('text')} AS quality
