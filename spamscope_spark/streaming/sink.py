@@ -173,6 +173,46 @@ class IdempotentSink:
             .drop("_rn", "epoch")
         )
 
+    def read_asof(self, spark: SparkSession, epoch: int) -> DataFrame:
+        """Time-travel read: the merged (last-writer-wins) view exactly
+        as it stood after `epoch` committed — the parquet-fallback
+        analog of an Iceberg snapshot read, and the reproducibility
+        primitive a training pipeline needs ("rebuild the corpus the
+        run was trained on"). Partition pruning keeps it cheap: only
+        epoch dirs <= `epoch` are listed/scanned.
+
+        Compaction trades history for file count (like Iceberg snapshot
+        expiry): if a later compacted epoch folded epochs <= `epoch`
+        into itself, that point in time is no longer reconstructable
+        and this raises ValueError rather than silently returning a
+        partial view."""
+        self._recover_interrupted_compaction()
+        entries: dict[int, dict] = {}
+        if os.path.exists(self.manifest):
+            with open(self.manifest) as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        entries[e["epoch"]] = e
+        for e in entries.values():
+            if e["epoch"] > epoch and e.get("compacted_min", e["epoch"]) <= epoch:
+                raise ValueError(
+                    f"epoch {epoch} expired: compaction folded epochs "
+                    f">= {e['compacted_min']} into epoch {e['epoch']}"
+                )
+        eps = sorted(k for k in entries if k <= epoch)
+        if not eps:
+            return self.read_raw(spark).drop("epoch").limit(0)
+        df = spark.read.option("basePath", self.data_dir).parquet(
+            *[os.path.join(self.data_dir, f"epoch={e}") for e in eps]
+        )
+        w = Window.partitionBy(*self.keys).orderBy(F.col("epoch").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "epoch")
+        )
+
     def read_since(self, spark: SparkSession, after_epoch: int) -> DataFrame:
         """Incremental (CDC-style) consumer: rows committed in epochs
         strictly AFTER `after_epoch`. A downstream batch job polls the
@@ -260,7 +300,14 @@ class IdempotentSink:
                 os.path.join(self.data_dir, f"epoch={e}"), ignore_errors=True
             )
         new_entries = [
-            {"epoch": k, "rows": n, "compacted_from": len(target)}
+            {
+                "epoch": k,
+                "rows": n,
+                "compacted_from": len(target),
+                # min of the folded range — lets read_asof detect that
+                # time-travel to an epoch inside the range has expired
+                "compacted_min": target[0],
+            }
         ] + [entries[e] for e in committed if e not in set(target)]
         tmp = self.manifest + ".tmp"
         with open(tmp, "w") as f:

@@ -93,6 +93,26 @@ class TestIdempotentSink:
         assert sink.compact(spark) == {"compacted_epochs": 0}
 
 
+    def test_read_asof_time_travel_and_expiry(self, spark, tmp_path):
+        sink = IdempotentSink(str(tmp_path / "s4"), keys=["k"])
+        sink.process_batch(spark.createDataFrame([(1, "a"), (2, "x")], "k int, v string"), 0)
+        sink.process_batch(spark.createDataFrame([(1, "b")], "k int, v string"), 1)
+        sink.process_batch(spark.createDataFrame([(3, "y")], "k int, v string"), 2)
+        asof = lambda e: {  # noqa: E731
+            r["k"]: r["v"] for r in sink.read_asof(spark, e).collect()
+        }
+        assert asof(0) == {1: "a", 2: "x"}
+        assert asof(1) == {1: "b", 2: "x"}
+        assert asof(2) == asof(99) == {1: "b", 2: "x", 3: "y"}
+        # compaction expires time-travel INTO the folded range but
+        # preserves it at/after the compacted epoch
+        sink.compact(spark, keep_last=1)  # 0,1 -> epoch=1
+        assert asof(1) == {1: "b", 2: "x"}
+        assert asof(2) == {1: "b", 2: "x", 3: "y"}
+        with pytest.raises(ValueError, match="expired"):
+            sink.read_asof(spark, 0)
+
+
 class TestEnrichedStream:
     def test_end_to_end_matches_batch(self, spark, cfg):
         query, sink = start_enriched_query(spark, cfg)
