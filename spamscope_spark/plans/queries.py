@@ -32,6 +32,7 @@ from ..operators import (
     dedup,
     graph,
     joins,
+    regress,
     scd,
     search,
     sessionize,
@@ -1984,6 +1985,26 @@ def q_scd2_history(spark, sf_dir):
     per-entity history length, not corpus size."""
     e = _t(spark, sf_dir, "events")
     return scd.scd2_from_changes(e)
+
+
+@query(
+    "q_grouped_linreg",
+    regress.sql_grouped_linreg(
+        "events", "event_type", "extract(hour FROM ts)", "value"
+    ),
+)
+def q_grouped_linreg(spark, sf_dir):
+    """distributed OLS via sufficient statistics (new r3,
+    operators/regress.py): per-event-type slope/intercept/R²/corr of
+    value ~ hour-of-day from ONE partial-aggregated pass — the
+    scale-correct regression shape (no iterations, no driver state).
+    The oracle is DuckDB's own regr_slope/regr_intercept/regr_r2/corr
+    — an independent analytic implementation, so the hash check proves
+    the sufficient-statistics arithmetic, not a twin of itself."""
+    e = _t(spark, sf_dir, "events")
+    return regress.grouped_linreg(
+        e, "event_type", F.hour("ts").cast("double"), F.col("value")
+    )
 
 
 @query(

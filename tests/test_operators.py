@@ -1563,3 +1563,28 @@ class TestCcnetBuckets:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         # the corpus itself is never globally sorted for the tier cut
         assert "Sort [bigram_logprob" not in plan
+
+
+class TestGroupedLinreg:
+    def test_exact_line_degenerate_and_noise(self, spark):
+        from spamscope_spark.operators.regress import grouped_linreg
+
+        rows = [("line", float(i), 3.0 * i + 2.0) for i in range(10)]
+        rows += [("flat_x", 5.0, float(i)) for i in range(4)]   # zero x-var
+        rows += [("flat_y", float(i), 7.0) for i in range(4)]   # zero y-var
+        rows += [("tiny", 1.0, 1.0)]                            # n < min_n
+        rows += [("nulls", None, 1.0), ("nulls", 1.0, None), ("nulls", 2.0, 5.0)]
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        out = {
+            r["grp"]: r
+            for r in grouped_linreg(df, "grp", F.col("x"), F.col("y")).collect()
+        }
+        assert out["line"]["slope"] == 3.0 and out["line"]["intercept"] == 2.0
+        assert out["line"]["r2"] == 1.0 and out["line"]["corr"] == 1.0
+        assert out["flat_x"]["slope"] is None
+        # zero y-variance: slope/intercept defined (0, mean), r2/corr not
+        assert out["flat_y"]["slope"] == 0.0 and out["flat_y"]["intercept"] == 7.0
+        assert out["flat_y"]["r2"] is None and out["flat_y"]["corr"] is None
+        assert out["tiny"]["slope"] is None
+        # null-pair exclusion: only the complete row counts
+        assert out["nulls"]["n"] == 1
