@@ -5,12 +5,13 @@ The reference carries attachment payloads as base64 strings and decodes
 them in bolts (src/modules/attachments/attachments.py:346-371 withhashes,
 :277-344 metadata). Here the Spark-side plumbing — schema, batch shape,
 partition-preserving mapInPandas, hashing, size/type metadata — is real
-and tested. The codec step is REAL for formats that need no external
-library: two image formats — BMP (24bpp uncompressed) and binary PPM
-(P6) — via `decode_image`, and PCM WAV audio (RIFF chunk walk, 16-bit
-LPCM) via `decode_wav` — all from-scratch header+payload parsers.
-Video and other image/audio formats remain STUBBED (their libs are not
-in this container) behind `decode_stub`, which raises
+and tested. The codec step is REAL for one format per modality, each
+needing no external library: images — BMP (24bpp uncompressed) and
+binary PPM (P6) via `decode_image`; audio — PCM WAV (RIFF chunk walk,
+16-bit LPCM) via `decode_wav`; video — YUV4MPEG2 (text header + planar
+C420 frame walk) via `decode_y4m` — all from-scratch header+payload
+parsers. Compressed formats (JPEG/MP3/H.264 …) remain STUBBED (their
+libs are not in this container) behind `decode_stub`, which raises
 NotImplementedError unless `fake=True` produces a deterministic fake
 feature vector (so the pipeline shape stays testable end-to-end for
 every media type).
@@ -522,3 +523,147 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, schema=IMAGE_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real video codec: YUV4MPEG2 (.y4m) — uncompressed planar YUV with a
+# plain-text header; parseable from scratch like the BMP/PPM/WAV paths,
+# which un-stubs the last media modality. Encoder exists so fixtures
+# are genuine Y4M bytes; the decoder is the production-path parser.
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """Encode an (n_frames, h, w) uint8 luma array as a YUV4MPEG2 C420
+    stream (U/V planes filled with 128 = neutral chroma)."""
+    n, h, w = frames.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420\n".encode()
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    out = [hdr]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].astype(np.uint8).tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """Parse a YUV4MPEG2 (C420) payload; returns {fmt, width, height,
+    fps, n_frames, mean_luma_f0} where mean_luma_f0 is the exact
+    integer-sum mean of the first frame's Y plane. Raises ValueError on
+    non-Y4M / unsupported-chroma / truncated input."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fn, fd = 25, 1
+    chroma = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            fn, fd = (int(x) for x in t[1:].split(":"))
+        elif t[0] == "C":
+            chroma = t[1:]
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    if not chroma.startswith("420"):
+        raise ValueError(f"unsupported chroma {chroma}")
+    frame_bytes = h * w + 2 * (h // 2) * (w // 2)
+    i, n_frames, mean0 = nl + 1, 0, None
+    while i < len(payload):
+        j = payload.index(b"\n", i)
+        if payload[i:j].split()[0:1] != [b"FRAME"]:
+            raise ValueError("bad FRAME marker")
+        body = payload[j + 1 : j + 1 + frame_bytes]
+        if len(body) < frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        if n_frames == 0:
+            y = np.frombuffer(body, np.uint8, h * w)
+            mean0 = float(y.astype(np.float64).mean())
+        n_frames += 1
+        i = j + 1 + frame_bytes
+    return {
+        "fmt": "y4m",
+        "width": int(w),
+        "height": int(h),
+        "fps": float(fn) / fd,
+        "n_frames": n_frames,
+        "mean_luma_f0": mean0,
+    }
+
+
+# Fixture arithmetic shared with the SQL oracle: doc d has
+# n_frames = 3 + d % 4, w = 8 + (d % 3) * 4, h = 6 + (d % 2) * 2, and
+# frame-f luma at (r, c) = (11*d + 7*f + 5*r + 3*c) % 256.
+Y4M_FRAMES = "3 + {d} % 4"
+Y4M_W = "8 + ({d} % 3) * 4"
+Y4M_H = "6 + ({d} % 2) * 2"
+Y4M_LUMA = "(11 * {d} + 7 * {f} + 5 * {r} + 3 * {c}) % 256"
+
+
+def synthesize_y4m_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Y4M fixtures: dims, frame counts, and every luma
+    sample derive arithmetically from the id (Y4M_* formulas)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                d = int(i)
+                n, w, h = 3 + d % 4, 8 + (d % 3) * 4, 6 + (d % 2) * 2
+                f, r, c = np.indices((n, h, w))
+                frames = ((11 * d + 7 * f + 5 * r + 3 * c) % 256).astype(np.uint8)
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        fn,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+
+
+Y4M_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("fmt", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("fps", DoubleType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("mean_luma_f0", DoubleType(), True),
+    ]
+)
+
+
+def decode_video(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real Y4M decode over a binary column: mapInPandas, Arrow-batched,
+    partition-preserving (no shuffle). Unparseable payloads yield null
+    columns rather than failing the batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in Y4M_DECODE_SCHEMA.fields}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(i)
+                try:
+                    m = decode_y4m(bytes(p) if p is not None else b"")
+                except ValueError:
+                    m = {}
+                for k in ("fmt", "width", "height", "fps", "n_frames",
+                          "mean_luma_f0"):
+                    out[k].append(m.get(k))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=Y4M_DECODE_SCHEMA)

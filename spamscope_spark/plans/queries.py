@@ -1491,6 +1491,36 @@ def q_audio_decode(spark, sf_dir):
     return decode_audio(d, "doc_id", "payload")
 
 
+@query(
+    "q_video_decode",
+    """
+    SELECT doc_id, 'y4m' AS fmt,
+        CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS width,
+        CAST(6 + (doc_id % 2) * 2 AS INTEGER) AS height,
+        CAST(25.0 AS DOUBLE) AS fps,
+        CAST(3 + doc_id % 4 AS INTEGER) AS n_frames,
+        list_avg(flatten(list_transform(range(6 + (doc_id % 2) * 2),
+            r -> list_transform(range(8 + (doc_id % 3) * 4),
+                c -> (11 * doc_id + 5 * r + 3 * c) % 256)))) AS mean_luma_f0
+    FROM documents
+    """,
+)
+def q_video_decode(spark, sf_dir):
+    """REAL video decode (new r3 — un-stubs the last media modality):
+    synthesize genuine YUV4MPEG2 streams per doc (dims, frame counts,
+    and every luma sample derived arithmetically from doc_id), then
+    parse them back with the from-scratch Y4M decoder
+    (operators/multimodal.py decode_y4m: text header + planar C420
+    frame walk). The oracle predicts header fields and the exact
+    frame-0 luma mean without seeing the bytes. Reference analog:
+    attachment content inspection,
+    src/modules/attachments/attachments.py:277-344."""
+    from ..operators.multimodal import decode_video, synthesize_y4m_payloads
+
+    d = synthesize_y4m_payloads(_t(spark, sf_dir, "documents"), "doc_id")
+    return decode_video(d, "doc_id", "payload")
+
+
 # ===========================================================================
 # Flagship: enriched transcript pipeline (generated turns, materialized
 # to parquet so the DuckDB oracle reads the IDENTICAL input)

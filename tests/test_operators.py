@@ -535,6 +535,49 @@ class TestMultimodal:
         assert rows[1]["fmt"] is None and rows[2]["n_frames"] is None
 
 
+class TestY4mVideo:
+    def test_roundtrip_and_malformed(self):
+        import numpy as np
+
+        from spamscope_spark.operators.multimodal import decode_y4m, encode_y4m
+
+        frames = (np.arange(2 * 4 * 6).reshape(2, 4, 6) * 7 % 256).astype(np.uint8)
+        m = decode_y4m(encode_y4m(frames, fps_num=30))
+        assert (m["width"], m["height"], m["n_frames"]) == (6, 4, 2)
+        assert m["fps"] == 30.0
+        assert m["mean_luma_f0"] == pytest.approx(frames[0].astype(float).mean())
+        good = encode_y4m(frames)
+        for bad in (b"", b"RIFF" + good[4:], good[:-5],
+                    good.replace(b"C420", b"C444")):
+            with pytest.raises(ValueError):
+                decode_y4m(bad)
+
+    def test_decode_video_dataframe(self, spark):
+        from spamscope_spark.operators.multimodal import (
+            decode_video,
+            synthesize_y4m_payloads,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        out = {r["doc_id"]: r for r in
+               decode_video(synthesize_y4m_payloads(docs)).collect()}
+        for d in range(6):
+            r = out[d]
+            w, h = 8 + (d % 3) * 4, 6 + (d % 2) * 2
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, 3 + d % 4)
+            want = sum(
+                (11 * d + 5 * rr + 3 * cc) % 256
+                for rr in range(h) for cc in range(w)
+            ) / (h * w)
+            assert r["mean_luma_f0"] == pytest.approx(want)
+        corrupt = spark.createDataFrame(
+            [(1, bytearray(b"nota video")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in decode_video(corrupt).collect()}
+        assert rows[1]["fmt"] is None and rows[2]["n_frames"] is None
+
+
 class TestKmvSketch:
     def test_estimate_accuracy_and_exact_small_groups(self, spark):
         from spamscope_spark.operators.sketch import kmv_distinct
