@@ -74,6 +74,13 @@ HEADLINE = [
     "q_dialect_fingerprint",
     "q_repetition_stats",
     "q_bigram_logprob",
+    # round-3 additions tracked round-over-round (q_substring_dedup is
+    # deliberately NOT here: its cost is ~linear md5 hashing of every
+    # 12-word window — intrinsic to exact substring dedup and
+    # embarrassingly parallel, but heavy enough at sf0.1 to drown the
+    # headline's round-over-round signal)
+    "q_scd2_history",
+    "q_cm_sketch",
     "q_turns_flagship",
 ]
 
