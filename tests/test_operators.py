@@ -715,6 +715,53 @@ class TestScd2:
         assert [r["is_current"] for r in u1] == [False, False, True]
         assert len([r for r in out if r["user_id"] == 2]) == 1
 
+    def test_randomized_feeds_match_python_model(self, spark):
+        """200 random entity change feeds (duplicate timestamps, no-op
+        changes, varying lengths) in ONE Spark job vs a pure-Python
+        run-collapse model."""
+        import datetime as dt
+        import random
+
+        from spamscope_spark.operators.scd import scd2_from_changes
+
+        rng = random.Random(7)
+        rows, eid = [], 0
+        for u in range(200):
+            t = 0
+            for _ in range(rng.randint(1, 12)):
+                t += rng.randint(0, 3)  # duplicate ts possible
+                rows.append((u, rng.choice("abc"), t, eid))
+                eid += 1
+        feed = spark.createDataFrame(
+            [(u, a, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=t), e)
+             for u, a, t, e in rows],
+            "user_id long, event_type string, ts timestamp, event_id long",
+        )
+        got = {
+            (r["user_id"], r["version"]): (
+                r["event_type"], str(r["valid_from"]), str(r["valid_to"]),
+                r["is_current"],
+            )
+            for r in scd2_from_changes(feed).collect()
+        }
+        # python model: sort by (ts, seq), collapse runs, tile intervals
+        want = {}
+        by_u: dict = {}
+        for u, a, t, e in rows:
+            by_u.setdefault(u, []).append((t, e, a))
+        for u, evs in by_u.items():
+            evs.sort()
+            runs = [
+                (t, a) for i, (t, e, a) in enumerate(evs)
+                if i == 0 or a != evs[i - 1][2]
+            ]
+            for v, (t, a) in enumerate(runs, 1):
+                vt = runs[v][0] if v < len(runs) else None
+                ts = lambda x: str(dt.datetime(2026, 1, 1) + dt.timedelta(seconds=x))  # noqa: E731
+                want[(u, v)] = (a, ts(t), ts(vt) if vt is not None else "None",
+                                vt is None)
+        assert got == want
+
     def test_point_in_time_never_leaks_future_values(self, spark):
         import datetime as dt
 

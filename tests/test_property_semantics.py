@@ -122,3 +122,44 @@ class TestUrlExtraction:
         text = " see ".join(f"http://{h}/x" for h in hosts)
         got = {u["url"] for u in extract_urls(text)}
         assert got == {f"http://{h}/x" for h in hosts}
+
+
+class TestMediaCodecRoundtrip:
+    """The codec parsers are pure functions — ideal hypothesis targets
+    (no Spark session per example)."""
+
+    @given(
+        n=st.integers(1, 40),
+        ch=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_wav_roundtrip_exact(self, n, ch, rate, seed):
+        import numpy as np
+
+        from spamscope_spark.operators.multimodal import decode_wav, encode_wav
+
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int64).astype("<i2")
+        m = decode_wav(encode_wav(s, rate))
+        assert (m["n_frames"], m["n_channels"], m["sample_rate"]) == (n, ch, rate)
+        assert m["mean_ch0"] == s[:, 0].astype(np.float64).mean()
+
+    @given(
+        n=st.integers(1, 5),
+        w=st.integers(1, 16),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_y4m_roundtrip_exact(self, n, w, h, seed):
+        import numpy as np
+
+        from spamscope_spark.operators.multimodal import decode_y4m, encode_y4m
+
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(n, h, w), dtype=np.int64).astype(np.uint8)
+        m = decode_y4m(encode_y4m(frames))
+        assert (m["n_frames"], m["width"], m["height"]) == (n, w, h)
+        assert m["mean_luma_f0"] == frames[0].astype(np.float64).mean()
