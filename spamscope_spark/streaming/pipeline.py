@@ -785,6 +785,36 @@ def start_cm_sketch_query(
     return writer.start(), sink
 
 
+def start_scd2_query(
+    spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
+):
+    """Streaming SCD2 dimension of per-conversation risk tier: each
+    microbatch folds into the versioned dimension via scd2_apply
+    (incremental MERGE), exactly-once via per-epoch snapshots. Late
+    rows are handled structurally: the fold replays the touched
+    entity's full (small) history, so an out-of-order change lands in
+    its correct interval position rather than being dropped."""
+    from .scd2_sink import Scd2DimSink, risk_tier
+
+    _apply_state_store(spark, cfg)
+    sink = Scd2DimSink(cfg.output("scd2_dim"))
+    df = enriched_stream(spark, cfg, dedup_flag=False).select(
+        "conv_id",
+        risk_tier().alias("risk_tier"),
+        "ts",
+        F.col("turn_idx").cast("long").alias("seq"),
+    )
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cfg.checkpoint("scd2_dim"))
+        .outputMode("append")
+        .queryName("scd2_dim")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
 def start_anomaly_query(
     spark: SparkSession,
     cfg: PipelineConfig,
