@@ -503,6 +503,35 @@ def windowed_rates(
     )
 
 
+def windowed_linreg(
+    df: DataFrame, window_s: int = 600, y_col: str = "phishing_score"
+) -> DataFrame:
+    """Per-tumbling-window OLS trend of a metric over time (drift
+    monitor): slope of y ~ seconds-into-window across all turns in the
+    window. Sufficient statistics are plain associative sums, so the
+    regression streams under the same partial-agg + watermark contract
+    as any windowed count — the streaming face of
+    operators/regress.grouped_linreg (same closed form, same nulls)."""
+    from ..operators.regress import grouped_linreg
+
+    w = F.window("ts", f"{window_s} seconds").alias("w")
+    base = df.select(
+        w,
+        (F.unix_timestamp("ts") % window_s).cast("double").alias("x"),
+        F.coalesce(F.col(y_col), F.lit(0)).cast("double").alias("y"),
+    )
+    out = grouped_linreg(base, "w", F.col("x"), F.col("y"))
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+        "slope",
+        "intercept",
+        "r2",
+        "corr",
+    )
+
+
 def windowed_cm_sketch(
     df: DataFrame,
     window_s: int = 600,
@@ -779,6 +808,25 @@ def start_cm_sketch_query(
         .option("checkpointLocation", cfg.checkpoint("cm_sketch"))
         .outputMode("append")
         .queryName("cm_sketch")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def start_linreg_query(
+    spark: SparkSession, cfg: PipelineConfig, available_now: bool = True
+):
+    """Per-window score-drift regression, exactly-once (append mode:
+    a window's fit is final once the watermark passes its end)."""
+    _apply_state_store(spark, cfg)
+    sink = IdempotentSink(cfg.output("window_linreg"), keys=["window_start"])
+    df = windowed_linreg(_session_input(spark, cfg), window_s=cfg.window_s)
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cfg.checkpoint("window_linreg"))
+        .outputMode("append")
+        .queryName("window_linreg")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

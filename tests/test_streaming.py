@@ -1084,3 +1084,29 @@ class TestScd2DimSink:
         assert [x for x in first if x[0] == "c1"] == [
             ("c1", 1, "low", False), ("c1", 2, "high", True)
         ]
+
+
+class TestWindowedLinreg:
+    def test_stream_fits_match_batch(self, spark, cfg):
+        from spamscope_spark.streaming.pipeline import (
+            start_linreg_query,
+            windowed_linreg,
+        )
+
+        query, sink = start_linreg_query(spark, cfg)
+        query.awaitTermination(300)
+        got = {
+            r["window_start"]: (r["n"], r["slope"], r["r2"])
+            for r in sink.read_merged(spark).collect()
+        }
+        assert len(got) > 0
+        batch = windowed_linreg(
+            enrich_turns(spark.read.parquet(cfg.input_path), dedup_flag=False),
+            window_s=cfg.window_s,
+        ).collect()
+        exp = {
+            r["window_start"]: (r["n"], r["slope"], r["r2"]) for r in batch
+        }
+        # append mode emits only watermark-closed windows: subset, equal
+        for k, v in got.items():
+            assert exp[k] == v, k
