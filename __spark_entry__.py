@@ -118,7 +118,8 @@ _GRADE_FIRST = [
 # Round-3 late additions (q_tool_timeouts, q_bloom_decontaminate,
 # q_audio_decode, q_kmv_distinct, q_turn_integrity, q_cm_sketch,
 # q_weighted_sample, q_scd2_history, q_scd2_pit, q_substring_dedup,
-# q_group_weighted_sample, q_char_entropy, q_grouped_linreg, q_video_decode) register AFTER
+# q_group_weighted_sample, q_char_entropy, q_grouped_linreg, q_video_decode, q_cohort_retention,
+# q_funnel) register AFTER
 # the 50-slot window —
 # every window slot is already spoken for by a query with no prior
 # driver-graded row. They are hash-exact under the same gate locally

@@ -2018,6 +2018,119 @@ def q_scd2_history(spark, sf_dir):
 
 
 @query(
+    "q_cohort_retention",
+    """
+    WITH cohorts AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events
+        GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_day,
+            date_diff('day', c.cohort_day, date_trunc('day', e.ts)) AS day_offset
+        FROM events e JOIN cohorts c USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_active,
+        round(COUNT(*) / CAST(MAX(cohort_size) AS DOUBLE), 6) AS retention
+    FROM (
+        SELECT a.*, COUNT(*) FILTER (WHERE day_offset = 0)
+            OVER (PARTITION BY cohort_day) AS cohort_size
+        FROM activity a
+    )
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """cohort retention matrix (new r3): users grouped by first-active
+    day; per (cohort, day-offset) active-user counts and retention
+    fraction — the standard product-analytics rollup. Two narrow
+    shuffles (per-user min, then per-(cohort,offset) distinct-count);
+    the cohort dimension re-joins on user_id, and cohort size flows as
+    a window over the already-aggregated activity rows (bounded by
+    cohorts×offsets, never raw events)."""
+    e = _t(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        e.join(cohorts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    g = activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w = Window.partitionBy("cohort_day")
+    size = F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(w)
+    return g.select(
+        "cohort_day",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+        F.round(F.col("n_active") / size.cast("double"), 6).alias("retention"),
+    )
+
+
+@query(
+    "q_funnel",
+    """
+    WITH steps AS (
+        SELECT user_id,
+            MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+            MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+            MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        FROM events GROUP BY user_id
+    ), flags AS (
+        SELECT user_id,
+            t1 IS NOT NULL AS s1,
+            t1 IS NOT NULL AND t2 > t1 AS s2,
+            t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AS s3
+        FROM steps
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS step1_view,
+        CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS step2_click,
+        CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase,
+        round(SUM(CASE WHEN s3 THEN 1 ELSE 0 END)
+              / CAST(NULLIF(SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 0) AS DOUBLE),
+              6) AS conversion
+    FROM flags
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """ordered funnel analysis (new r3): view → click → purchase, each
+    later step counted only when it first occurs strictly AFTER the
+    previous step's first occurrence (simple-ordered-funnel
+    semantics). One per-user pivot aggregation (min ts per step as
+    conditional aggs — partial map-side), then a single global rollup:
+    two shuffles total, never an event self-join."""
+    e = _t(spark, sf_dir, "events")
+    m = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    steps = e.groupBy("user_id").agg(
+        m("view").alias("t1"), m("click").alias("t2"), m("purchase").alias("t3")
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & (F.col("t2") > F.col("t1"))
+    s3 = s2 & (F.col("t3") > F.col("t2"))
+    flags = steps.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s1").cast("long")).alias("step1_view"),
+        F.sum(F.col("s2").cast("long")).alias("step2_click"),
+        F.sum(F.col("s3").cast("long")).alias("step3_purchase"),
+        F.round(
+            F.sum(F.col("s3").cast("long"))
+            / F.nullif(F.sum(F.col("s1").cast("long")), F.lit(0)).cast("double"),
+            6,
+        ).alias("conversion"),
+    )
+
+
+@query(
     "q_grouped_linreg",
     regress.sql_grouped_linreg(
         "events", "event_type", "extract(hour FROM ts)", "value"

@@ -1678,3 +1678,64 @@ class TestGroupedLinreg:
         assert out["tiny"]["slope"] is None
         # null-pair exclusion: only the complete row counts
         assert out["nulls"]["n"] == 1
+
+
+class TestFunnelAndCohort:
+    def test_funnel_requires_strict_order(self, spark):
+        import datetime as dt
+
+        from spamscope_spark.plans.queries import QUERIES
+
+        t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+        rows = [
+            # u1: full ordered funnel
+            (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+            # u2: clicked BEFORE viewing -> stops at step 1
+            (2, "click", t(1)), (2, "view", t(2)), (2, "purchase", t(3)),
+            # u3: view+click only
+            (3, "view", t(1)), (3, "click", t(5)),
+            # u4: never viewed
+            (4, "purchase", t(1)),
+        ]
+        df = spark.createDataFrame(
+            [(u, et, ts, i) for i, (u, et, ts) in enumerate(rows)],
+            "user_id long, event_type string, ts timestamp, event_id long",
+        )
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        r = QUERIES["q_funnel"](spark, d).collect()[0]
+        assert (r["n_users"], r["step1_view"]) == (4, 3)
+        assert (r["step2_click"], r["step3_purchase"]) == (2, 1)
+        assert r["conversion"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_cohort_offsets_and_retention(self, spark):
+        import datetime as dt
+        import os
+        import tempfile
+
+        from spamscope_spark.plans.queries import QUERIES
+
+        day = lambda d, h=0: dt.datetime(2026, 1, 1 + d, h)  # noqa: E731
+        rows = [
+            (1, day(0)), (1, day(0, 5)), (1, day(2)),   # cohort d0, active d0+d2
+            (2, day(0)),                                  # cohort d0, d0 only
+            (3, day(1)), (3, day(2)),                     # cohort d1, d0+d1 offsets
+        ]
+        df = spark.createDataFrame(
+            [(u, "view", ts, i) for i, (u, ts) in enumerate(rows)],
+            "user_id long, event_type string, ts timestamp, event_id long",
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (str(r["cohort_day"]), r["day_offset"]): (r["n_active"], r["retention"])
+            for r in QUERIES["q_cohort_retention"](spark, d).collect()
+        }
+        assert out[("2026-01-01", 0)] == (2, 1.0)
+        assert out[("2026-01-01", 2)] == (1, 0.5)
+        assert out[("2026-01-02", 0)] == (1, 1.0)
+        assert out[("2026-01-02", 1)] == (1, 1.0)
+        assert len(out) == 4  # same-day repeat visits dedup to one row
