@@ -119,7 +119,7 @@ _GRADE_FIRST = [
 # q_audio_decode, q_kmv_distinct, q_turn_integrity, q_cm_sketch,
 # q_weighted_sample, q_scd2_history, q_scd2_pit, q_substring_dedup,
 # q_group_weighted_sample, q_char_entropy, q_grouped_linreg, q_video_decode, q_cohort_retention,
-# q_funnel) register AFTER
+# q_funnel, q_markov_transitions) register AFTER
 # the 50-slot window —
 # every window slot is already spoken for by a query with no prior
 # driver-graded row. They are hash-exact under the same gate locally

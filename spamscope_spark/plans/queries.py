@@ -2018,6 +2018,51 @@ def q_scd2_history(spark, sf_dir):
 
 
 @query(
+    "q_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+            lead(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+        round(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+    FROM pairs
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """first-order Markov transition matrix over per-user event
+    sequences (new r3): P(next | current) — the user-journey model
+    behind next-action prediction and anomalous-sequence scoring
+    (complements q_event_pattern's explicit CEP rules with learned
+    transition mass). One (user) window + one (cur,nxt) groupBy; the
+    row-normalizing window runs over the |types|² aggregated matrix,
+    never raw events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row).cast("double"), 6).alias("p"),
+    )
+
+
+@query(
     "q_cohort_retention",
     """
     WITH cohorts AS (
