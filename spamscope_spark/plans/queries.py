@@ -32,6 +32,7 @@ from ..operators import (
     dedup,
     graph,
     joins,
+    linkage,
     regress,
     scd,
     search,
@@ -39,11 +40,12 @@ from ..operators import (
     similarity,
     sketch,
     skew,
+    timeseries,
 )
 from ..operators.enrich import enrich_turns
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..oracle import PHISHING_BITMAP
-from ..sources import bucketed, partitioned
+from ..sources import bucketed, partitioned, zorder
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -3410,3 +3412,125 @@ def q_norm_dedup(spark, sf_dir):
         .otherwise(F.coalesce(F.col("text"), F.lit(""))),
     )
     return corpus.norm_dedup_groups(d, "doc_id", "t4")
+
+
+# ===========================================================================
+# Z-order layout, record linkage, time-grid resampling (round 3 late set)
+# ===========================================================================
+
+
+@query(
+    "q_zorder_pruned",
+    """
+    WITH g AS (
+        SELECT min(user_id) AS umin, max(user_id) AS umax,
+               min(CAST(floor(epoch(ts)) AS BIGINT)) AS tmin,
+               max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events, g
+    WHERE user_id BETWEEN umin + (umax - umin) * 45 // 100
+                      AND umin + (umax - umin) * 60 // 100
+      AND CAST(floor(epoch(ts)) AS BIGINT)
+          BETWEEN tmin + (tmax - tmin) * 30 // 100
+              AND tmin + (tmax - tmin) * 70 // 100
+    GROUP BY event_type
+    """,
+)
+def q_zorder_pruned(spark, sf_dir):
+    """Rectangle query (user band x time band) over the Z-order-clustered
+    events layout with manifest-stats file skipping
+    (sources/zorder.py) — the Iceberg/Delta data-skipping shape: a
+    Morton curve over (user_id, ts) bounds every file's min/max box in
+    BOTH dimensions, so the manifest drops most files before any I/O
+    and the residual predicate prunes row groups inside the survivors.
+    The oracle runs the identical rectangle (integer arithmetic on the
+    same global bounds) over the raw table. Pruning itself is asserted
+    in tests/test_zorder.py (selected files << total, single-dimension
+    slabs included)."""
+    path = zorder.ensure_zorder_events(spark, sf_dir)
+    u_lo, u_hi, t_lo, t_hi = zorder.default_rectangle(path)
+    df = zorder.pruned_scan(spark, path, u_lo, u_hi, t_lo, t_hi)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+# Deterministic dirty-name construction shared by the Spark query and
+# the oracle: append type + brand for entropy, then delete one
+# character at a key-derived position >= 6 (so the 4-char blocking
+# prefix survives, as real-world blocking assumes).
+_FUZZY_CLEAN = "p_name || ' ' || p_type || ' ' || p_brand"
+
+
+@query(
+    "q_fuzzy_match",
+    linkage.sql_blocked_fuzzy_match(
+        clean_rel=f"(SELECT p_partkey AS cid2, {_FUZZY_CLEAN} AS cname2 FROM part) c2",
+        dirty_rel=f"""(
+            SELECT p_partkey AS did2,
+                   substr(nm, 1, pos - 1) || substr(nm, pos + 1) AS dname2
+            FROM (
+                SELECT p_partkey, {_FUZZY_CLEAN} AS nm,
+                       6 + (p_partkey % (length({_FUZZY_CLEAN}) - 6)) AS pos
+                FROM part
+            )
+        ) d2""",
+        clean_id="cid2",
+        clean_name="cname2",
+        dirty_id="did2",
+        dirty_name="dname2",
+    ),
+)
+def q_fuzzy_match(spark, sf_dir):
+    """Entity resolution: match a deterministically-corrupted copy of
+    the part names (one char deleted at a key-derived position) back to
+    the clean table via the blocked fuzzy join
+    (operators/linkage.py::blocked_fuzzy_match) — prefix blocking +
+    hot-block cap + length band + JVM levenshtein + deterministic
+    best-match window. Never all-pairs: candidates are an equi-join on
+    the block key. The oracle rebuilds the same dirty side and runs the
+    SQL twin of the whole pipeline."""
+    part = _t(spark, sf_dir, "part")
+    full = F.concat_ws(" ", "p_name", "p_type", "p_brand")
+    clean = part.select(
+        F.col("p_partkey").alias("cid2"), full.alias("cname2")
+    )
+    dirty = (
+        part.select(F.col("p_partkey").alias("did2"), full.alias("nm"))
+        .withColumn(
+            "pos",
+            (F.lit(6) + F.col("did2") % (F.length("nm") - F.lit(6))).cast(
+                "int"
+            ),
+        )
+        .select(
+            "did2",
+            F.concat(
+                F.expr("substr(nm, 1, pos - 1)"), F.expr("substr(nm, pos + 1)")
+            ).alias("dname2"),
+        )
+    )
+    return linkage.blocked_fuzzy_match(
+        clean,
+        dirty,
+        clean_id="cid2",
+        clean_name="cname2",
+        dirty_id="did2",
+        dirty_name="dname2",
+    )
+
+
+@query("q_gap_fill", timeseries.sql_gap_fill_hourly("events"))
+def q_gap_fill(spark, sf_dir):
+    """Time-grid resampling: dense per-event_type hourly grid over the
+    observed span, activity counts zero-filled, last observed hourly
+    avg(value) carried forward across silent hours
+    (operators/timeseries.py::gap_fill_hourly). One partial-agg pass
+    over the raw stream; grid construction and forward fill run on
+    grid-sized rows only."""
+    return timeseries.gap_fill_hourly(_t(spark, sf_dir, "events"))
