@@ -71,3 +71,32 @@ def salted_agg(
         .agg(*[a.partial for a in aggs])
     )
     return stage1.groupBy(*key).agg(*[a.merge for a in aggs])
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    salt_source: Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-and-salt skew join — the explicit form of what AQE's
+    skew-join splitting does at runtime, for when the skew is KNOWN
+    ahead of plan time (the reference knew: it salted its partition key
+    at emit, src/bolts/tokenizer.py:102,119).
+
+    The big side gains a deterministic salt in [0, n_salts) derived
+    from `salt_source` (a data column, never RNG — replays must land
+    rows identically); the small side is replicated n_salts times via
+    one explode. The join then hashes on (keys..., _salt), so a hot key
+    fans out over n_salts reducers instead of pinning one. Cost: the
+    small side shuffles n_salts copies — use for medium dimension
+    tables that are too big to broadcast but far smaller than the fact
+    side; for broadcast-sized dims just broadcast (no salt needed).
+    Both sides must share the join column names in `keys`."""
+    b = big.withColumn("_salt", salt_column(salt_source, n_salts))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")

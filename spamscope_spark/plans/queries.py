@@ -3534,3 +3534,83 @@ def q_gap_fill(spark, sf_dir):
     over the raw stream; grid construction and forward fill run on
     grid-sized rows only."""
     return timeseries.gap_fill_hourly(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_salted_join",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """skew-safe fact-to-dimension join via explicit replicate-and-salt
+    (operators/skew.py::salted_join): the fact side salts on a
+    deterministic hash of l_linenumber, the dimension side replicates
+    n_salts times, and the join hashes on (orderkey, salt) — a hot
+    orderkey fans out over n_salts reducers instead of pinning one.
+    The oracle is the plain join: salting must be a pure physical
+    rewrite with zero semantic footprint. Plan evidence (salt in the
+    exchange key once broadcast is disabled) is asserted in
+    tests/test_zorder_linkage_gapfill.py::TestSaltedJoin."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = skew.salted_join(
+        li, orders, ["l_orderkey"], salt_source=F.col("l_linenumber"), n_salts=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "q_approx_quantiles",
+    # Like q_approx_distinct: the GK sketch value is engine-specific,
+    # so the oracle pins the exact quantiles plus the in-query verdict
+    # that each sketch landed inside a +/-0.01 rank window around its
+    # target (accuracy=10000 => rank error <= 1e-4, two orders of
+    # magnitude inside the verdict window).
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           round(quantile_cont(value, 0.9), 4) AS p90_exact,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_quantiles(spark, sf_dir):
+    """approximate quantiles (Greenwald-Khanna via percentile_approx)
+    with an in-query rank-tolerance verdict against the exact
+    interpolated quantiles — the 100 TB percentile path: the sketch is
+    mergeable and bounded-memory (one pass, map-side partials), while
+    the exact twin needs a per-group sort; at scale only the sketch
+    runs and this query is the certificate that its error bound
+    holds. Both sides share one groupBy exchange here."""
+    e = _t(spark, sf_dir, "events")
+    ex = F.expr(
+        "percentile(value, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91))"
+    )
+    ap = F.percentile_approx("value", [0.5, 0.9], 10000)
+    return (
+        e.groupBy("event_type")
+        .agg(ex.alias("_ex"), ap.alias("_ap"))
+        .select(
+            "event_type",
+            F.round(F.col("_ex")[1], 4).alias("p50_exact"),
+            F.round(F.col("_ex")[4], 4).alias("p90_exact"),
+            F.col("_ap")[0].between(F.col("_ex")[0], F.col("_ex")[2]).alias(
+                "p50_ok"
+            ),
+            F.col("_ap")[1].between(F.col("_ex")[3], F.col("_ex")[5]).alias(
+                "p90_ok"
+            ),
+        )
+    )

@@ -160,3 +160,50 @@ class TestGapFill:
             ("B", 2): (0, 5.0),
             ("B", 3): (0, 5.0),
         }
+
+
+class TestSaltedJoin:
+    def test_salt_reaches_the_exchange_key(self, spark):
+        """With broadcast off, both join inputs must hash-partition on
+        (key, _salt) — the salt actually changes the shuffle, it is not
+        optimized away."""
+        from spamscope_spark.operators import skew
+        from spamscope_spark.plans import explain
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = skew.salted_join(
+                li, orders, ["l_orderkey"], F.col("l_linenumber"), n_salts=8
+            )
+            txt = explain.plan_text(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        hash_lines = [
+            l for l in txt.splitlines() if "hashpartitioning(l_orderkey" in l
+        ]
+        assert len(hash_lines) >= 2, txt
+        assert all("_salt" in l for l in hash_lines), hash_lines
+
+    def test_salting_is_semantically_invisible(self, spark):
+        from spamscope_spark.operators import skew
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        salted = skew.salted_join(
+            li, orders, ["l_orderkey"], F.col("l_linenumber"), n_salts=8
+        )
+        plain = li.join(orders, "l_orderkey")
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )

@@ -50,6 +50,8 @@ AUDITED = {
     "q_zorder_pruned": "Z-order layout: manifest stats drop most files before I/O; residual rectangle predicate lands in PushedFilters of the surviving files' scan",
     "q_fuzzy_match": "blocked ER join: candidates equi-join on the block key (hot blocks anti-joined broadcast), levenshtein+band ride the join condition, best-match via WindowGroupLimit (rank-1 pushdown)",
     "q_gap_fill": "resample: ONE partial-agg pass over raw events; grid = broadcast cross of two metadata-sized dims; ffill window reuses the grid's event_type partitioning (no extra exchange)",
+    "q_salted_join": "replicate-and-salt skew join: a known-hot key fans out over n_salts reducers; semantically identical to the plain join (oracle is the plain join)",
+    "q_approx_quantiles": "GK quantile sketch + exact twin share ONE groupBy exchange; at scale only the bounded-memory sketch branch runs",
 }
 
 
