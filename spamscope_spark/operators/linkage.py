@@ -16,11 +16,15 @@ Scale shape — the classic ER pipeline, never all-pairs:
    pattern as the LSH/shingle candidate joins (operators/dedup.py). A
    100 TB run tunes the cap instead of letting one degenerate prefix
    ("the ", "http") quadratically blow up a single reducer.
-3. FILTER: a length-band predicate rides the join condition (cheap,
-   cuts candidates before the edit distance), then JVM
-   `levenshtein()` scores survivors — no Python.
+3. FILTER: the length band |len(dirty) - len(clean)| <= max_dist is
+   folded INTO the blocking key (the dirty side explodes to the
+   2*max_dist+1 target lengths it can legally match), so candidates
+   are an equi-join on (prefix, length) — both fewer pairs and a
+   higher-cardinality, better-distributed join key than the prefix
+   alone. JVM `levenshtein()` then scores the survivors — no Python.
 4. RESOLVE: best match per dirty record via one row_number window on
-   (distance, clean_id) — deterministic tie-break.
+   (distance, clean_id) — deterministic tie-break (compiles to
+   WindowGroupLimit, rank-1 pushed below the window sort).
 """
 
 from __future__ import annotations
@@ -63,11 +67,23 @@ def blocked_fuzzy_match(
     )
     c = c.join(F.broadcast(hot), "_blk", "left_anti")
     d = d.join(F.broadcast(hot), "_blk", "left_anti")
-    cand = d.join(
-        c,
-        (d["_blk"] == c["_blk"])
-        & (F.abs(d["_dlen"] - c["_clen"]) <= max_dist),
+    # length-band-as-key: each dirty row explodes to the target lengths
+    # it can match (each clean candidate has ONE length, so no pair
+    # appears twice), making candidate generation a pure equi-join on
+    # (prefix, length) — the composite key also spreads the shuffle far
+    # better than the prefix alone
+    d = d.withColumn(
+        "_tlen",
+        F.explode(
+            F.array(
+                *[
+                    F.col("_dlen") + F.lit(i)
+                    for i in range(-max_dist, max_dist + 1)
+                ]
+            )
+        ),
     )
+    cand = d.join(c, (d["_blk"] == c["_blk"]) & (d["_tlen"] == c["_clen"]))
     scored = cand.withColumn(
         "dist", F.levenshtein("_dname", "_cname")
     ).where(F.col("dist") <= max_dist)

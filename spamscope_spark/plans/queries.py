@@ -3495,7 +3495,14 @@ def q_fuzzy_match(spark, sf_dir):
     best-match window. Never all-pairs: candidates are an equi-join on
     the block key. The oracle rebuilds the same dirty side and runs the
     SQL twin of the whole pipeline."""
+    # part ships as one small single-row-group file per sf, so without
+    # widening the whole levenshtein probe runs as ONE task (measured
+    # 231 s at sf0.1 local[32]); same per-row-compute widening rule as
+    # _WIDE_TABLES, applied to the probe side
     part = _t(spark, sf_dir, "part")
+    want = spark.sparkContext.defaultParallelism
+    if part.rdd.getNumPartitions() < want:
+        part = part.repartition(want)
     full = F.concat_ws(" ", "p_name", "p_type", "p_brand")
     clean = part.select(
         F.col("p_partkey").alias("cid2"), full.alias("cname2")
