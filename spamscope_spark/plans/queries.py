@@ -3621,3 +3621,24 @@ def q_approx_quantiles(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q_silence_windows",
+    cep.sql_silence_windows("events", "event_type", "ts", bucket_s=3600),
+)
+def q_silence_windows(spark, sf_dir):
+    """CEP missing-event detection (the dual of q_rate_anomaly): per
+    event_type, densify the hourly activity timeline from the type's
+    first observed hour to the global last hour and flag silent
+    windows with a running windows_since_seen counter
+    (operators/cep.py::silence_windows — the shared kernel of the
+    streaming heartbeat monitor start_silence_query). One partial-agg
+    pass over raw events; everything after runs on count-table-sized
+    rows."""
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cep.silence_windows(cnt, "event_type", bucket_s=3600)

@@ -947,3 +947,79 @@ def start_anomaly_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sink
+
+
+def start_silence_query(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    key: str = "role",
+    bucket_s: int = 3600,
+    available_now: bool = True,
+):
+    """Streaming heartbeat monitor — the CEP "missing event" pattern,
+    dual of start_anomaly_query: maintain the dense per-key activity
+    timeline and emit rows for windows where a previously-seen key
+    went SILENT (plus its active windows), with windows_since_seen.
+
+    Same architecture as the anomaly query: a watermarked tumbling
+    count in append mode is the only wide stage over raw turns; the
+    foreachBatch pass re-derives the dense timeline from
+    [sink history ∪ batch] with the SAME silence_windows kernel the
+    batch q_silence_windows query uses, and emits the rows not yet
+    committed. Finality: a (window, key) row depends only on that
+    key's activity at windows <= it, all of which are watermark-closed
+    by the time the window itself closes — so rows never change after
+    emission and MERGE idempotence absorbs replays. A key silent
+    FOREVER keeps accruing rows as later windows close (the global
+    max observed window advances), which is exactly what a heartbeat
+    monitor must do — the reference's analog is the spout failing
+    stuck `.processing` files after fail.after.seconds
+    (src/spouts/files_mails.py:72-79), a per-item timeout this
+    operator generalizes to per-key timeline gaps."""
+    from ..operators import cep
+
+    _apply_state_store(spark, cfg)
+    sink = IdempotentSink(cfg.output("silence"), keys=["window_start", key])
+    src = read_turns_stream(spark, cfg)
+    cnt = (
+        src.withWatermark("ts", cfg.watermark)
+        .groupBy(
+            F.window("ts", f"{bucket_s} seconds").alias("w"), F.col(key)
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), key, "n")
+    )
+
+    def process(batch_df: DataFrame, epoch: int) -> None:
+        fresh = batch_df.select("window_start", key, "n")
+        if sink.committed_epochs():
+            hist = (
+                sink.read_merged(spark)
+                .where(~F.col("is_silent"))
+                .select("window_start", key, "n")
+            )
+            allc = hist.unionByName(fresh).dropDuplicates(
+                ["window_start", key]
+            )
+        else:
+            allc = fresh
+        dense = cep.silence_windows(allc, key, bucket_s)
+        if sink.committed_epochs():
+            done = sink.read_merged(spark).select("window_start", key)
+            dense = dense.join(done, ["window_start", key], "left_anti")
+        sink.process_batch(
+            dense.select(
+                "window_start", key, "n", "windows_since_seen", "is_silent"
+            ),
+            epoch,
+        )
+
+    writer = (
+        cnt.writeStream.foreachBatch(process)
+        .option("checkpointLocation", cfg.checkpoint("silence"))
+        .outputMode("append")
+        .queryName("silence")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink

@@ -1,5 +1,6 @@
 """Tests for round-3 additions: fixed-point PageRank, URL
-canonicalization, and the streaming rate-anomaly query."""
+canonicalization, and the streaming rate-anomaly and
+heartbeat/silence queries."""
 
 from __future__ import annotations
 
@@ -176,6 +177,73 @@ class TestStreamingRateAnomaly:
         q2, sink2 = start_anomaly_query(
             spark, anomaly_cfg, key=self.KEY, bucket_s=self.BUCKET_S,
             lookback=self.LOOKBACK, min_history=self.MIN_H, z_threshold=self.Z,
+        )
+        q2.awaitTermination(300)
+        assert sink2.read_merged(spark).count() == len(got)
+
+
+class TestStreamingSilence:
+    """Heartbeat / missing-event monitor (start_silence_query): the
+    stream's emitted rows are exactly the batch silence_windows kernel's
+    rows on the same input (watermark-closed prefix), the planted key's
+    disappearance IS detected, and checkpoint replay adds nothing."""
+
+    KEY, BUCKET_S = "role", 3600
+
+    @pytest.fixture()
+    def silence_cfg(self, spark, tmp_path):
+        path = str(tmp_path / "turns_in")
+        t = generate_turns(spark, n_convs=20, turns_per_conv=24)
+        b = t.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+        cut = b["lo"] + (b["hi"] - b["lo"]) * 0.4
+        # plant: the 'system' role stops emitting 40% into the span
+        t.where(
+            ~((F.col(self.KEY) == "system") & (F.col("ts") > F.lit(cut)))
+        ).write.parquet(path)
+        return PipelineConfig(input_path=path, work_dir=str(tmp_path / "work"))
+
+    def test_stream_matches_batch_and_replays_clean(self, spark, silence_cfg):
+        from spamscope_spark.streaming.pipeline import start_silence_query
+
+        q, sink = start_silence_query(
+            spark, silence_cfg, key=self.KEY, bucket_s=self.BUCKET_S
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["window_start"], r[self.KEY]): (
+                r["n"], r["windows_since_seen"], r["is_silent"]
+            )
+            for r in sink.read_merged(spark).collect()
+        }
+        assert got, "stream emitted nothing"
+        silent_keys = {k[1] for k, v in got.items() if v[2]}
+        assert "system" in silent_keys, sorted(got)[:5]
+
+        # batch twin: same kernel over the full parquet
+        turns = spark.read.parquet(silence_cfg.input_path)
+        cnt = turns.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col(self.KEY),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        exp = {
+            (r["window_start"], r[self.KEY]): (
+                r["n"], r["windows_since_seen"], r["is_silent"]
+            )
+            for r in cep.silence_windows(
+                cnt, self.KEY, self.BUCKET_S
+            ).collect()
+        }
+        for k, v in got.items():
+            assert exp[k] == v, k
+        # prefix completeness: every batch row at or before the last
+        # emitted window is present in the stream output
+        max_emitted = max(k[0] for k in got)
+        missing = {k for k in exp if k[0] <= max_emitted} - set(got)
+        assert not missing, sorted(missing)[:5]
+
+        # restart from the same checkpoint: exactly-once, no new rows
+        q2, sink2 = start_silence_query(
+            spark, silence_cfg, key=self.KEY, bucket_s=self.BUCKET_S
         )
         q2.awaitTermination(300)
         assert sink2.read_merged(spark).count() == len(got)
