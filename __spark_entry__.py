@@ -120,14 +120,16 @@ _GRADE_FIRST = [
     # and the window's one previously-unpinned slot)
     "q_seq_packing", "q_dsir_weights", "q_ccnet_buckets",
 ]
-# Round-3 late additions (q_bloom_decontaminate,
-# q_audio_decode, q_kmv_distinct, q_turn_integrity, q_cm_sketch,
-# q_weighted_sample, q_scd2_history, q_scd2_pit, q_substring_dedup,
-# q_group_weighted_sample, q_char_entropy, q_grouped_linreg, q_video_decode, q_cohort_retention,
-# q_funnel, q_markov_transitions) register AFTER
-# the 50-slot window —
-# every window slot is already spoken for by a query with no prior
-# driver-graded row. They are hash-exact under the same gate locally
+# Round-3 late additions (q_bloom_decontaminate, q_audio_decode,
+# q_kmv_distinct, q_turn_integrity, q_cm_sketch, q_weighted_sample,
+# q_scd2_history, q_scd2_pit, q_substring_dedup,
+# q_group_weighted_sample, q_char_entropy, q_grouped_linreg,
+# q_video_decode, q_cohort_retention, q_funnel, q_markov_transitions,
+# q_shingle_signatures, and the final-session set q_zorder_pruned,
+# q_fuzzy_match, q_gap_fill, q_salted_join, q_approx_quantiles,
+# q_silence_windows) register AFTER the 50-slot window — every window
+# slot is already spoken for by a query with no prior driver-graded
+# row. They are hash-exact under the same gate locally
 # (tools/check_correctness.py) and rotate into the window next round.
 
 

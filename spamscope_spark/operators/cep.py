@@ -367,7 +367,12 @@ def sql_silence_windows(
     ts: str,
     bucket_s: int = 3600,
 ) -> str:
-    """DuckDB twin: same per-key densify + carry-forward."""
+    """DuckDB twin: same per-key densify + carry-forward. The count
+    bucketing is written as date_trunc('hour', ...), so only the
+    hourly grid is supported here (the Spark kernel itself is
+    bucket-size-generic)."""
+    if bucket_s != 3600:
+        raise ValueError("sql_silence_windows supports bucket_s=3600 only")
     return f"""
     WITH cnt AS (
         SELECT date_trunc('hour', {ts}) AS window_start, {key},

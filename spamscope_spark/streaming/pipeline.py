@@ -992,11 +992,20 @@ def start_silence_query(
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         fresh = batch_df.select("window_start", key, "n")
-        if sink.committed_epochs():
-            hist = (
-                sink.read_merged(spark)
-                .where(~F.col("is_silent"))
-                .select("window_start", key, "n")
+        # History and the already-emitted set come from epochs STRICTLY
+        # BEFORE this one (read_asof): on a crash-replay of epoch E the
+        # sink may already hold E's own rows, and reading them back
+        # would anti-join this epoch's recomputation down to empty and
+        # overwrite E's directory with nothing. Excluding E makes the
+        # replay recompute the identical rows (the kernel is
+        # deterministic over closed windows) and overwrite E with the
+        # same content — exactly-once by convergence, the same property
+        # process_batch's always-overwrite contract assumes.
+        prior = sorted(e for e in sink.committed_epochs() if e < epoch)
+        if prior:
+            prior_df = sink.read_asof(spark, prior[-1])
+            hist = prior_df.where(~F.col("is_silent")).select(
+                "window_start", key, "n"
             )
             allc = hist.unionByName(fresh).dropDuplicates(
                 ["window_start", key]
@@ -1004,8 +1013,8 @@ def start_silence_query(
         else:
             allc = fresh
         dense = cep.silence_windows(allc, key, bucket_s)
-        if sink.committed_epochs():
-            done = sink.read_merged(spark).select("window_start", key)
+        if prior:
+            done = prior_df.select("window_start", key)
             dense = dense.join(done, ["window_start", key], "left_anti")
         sink.process_batch(
             dense.select(
