@@ -52,6 +52,7 @@ AUDITED = {
     "q_gap_fill": "resample: ONE partial-agg pass over raw events; grid = broadcast cross of two metadata-sized dims; ffill window reuses the grid's event_type partitioning (no extra exchange)",
     "q_salted_join": "replicate-and-salt skew join: a known-hot key fans out over n_salts reducers; semantically identical to the plain join (oracle is the plain join)",
     "q_approx_quantiles": "GK quantile sketch + exact twin share ONE groupBy exchange; at scale only the bounded-memory sketch branch runs",
+    "q_silence_windows": "missing-event timeline: one partial-agg pass over raw events; densify/carry-forward run on count-table-sized rows (per-key sequence explode, broadcast 1-row global bound)",
 }
 
 
