@@ -45,7 +45,7 @@ from ..operators import (
 from ..operators.enrich import enrich_turns
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..oracle import PHISHING_BITMAP
-from ..sources import bucketed, partitioned, zorder
+from ..sources import bucketed, evolve, partitioned, zorder
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -3642,3 +3642,60 @@ def q_silence_windows(spark, sf_dir):
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
     return cep.silence_windows(cnt, "event_type", bucket_s=3600)
+
+
+@query(
+    "q_triangle_count",
+    graph.sql_triangle_count(
+        "(SELECT l_partkey % 60 AS src, l_suppkey % 60 AS dst FROM lineitem) g"
+    ),
+)
+def q_triangle_count(spark, sf_dir):
+    """exact triangle count over the part-supplier co-occurrence graph
+    (nodes = hashed part/supplier ids, one edge per lineitem pair) via
+    DEGREE-ORIENTED wedge join (operators/graph.py::triangle_count) —
+    the orientation bounds wedge fanout by O(sqrt(E)) on any graph, so
+    a celebrity node cannot blow up the join at 10^12 edges. The
+    oracle is an independent canonical a<b<c triple join."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") % 60).alias("src"),
+        (F.col("l_suppkey") % 60).alias("dst"),
+    )
+    return graph.triangle_count(edges)
+
+
+@query(
+    "q_schema_evolution",
+    """
+    WITH uni AS (
+        SELECT event_id, event_type, value, CAST(NULL AS INTEGER) AS quality
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, event_type, value,
+               CAST(event_id % 5 AS INTEGER) AS quality
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(quality) AS BIGINT) AS n_with_quality,
+           CAST(sum(quality) AS BIGINT) AS sum_quality
+    FROM uni GROUP BY event_type
+    """,
+)
+def q_schema_evolution(spark, sf_dir):
+    """additive schema evolution read: two file generations under one
+    table root — gen=1 lacks the later-added `quality` column, gen=2
+    carries it — read as ONE schema via mergeSchema (footer-level
+    reconciliation, no data rewrite: the Iceberg/Delta add-column
+    semantics at parquet level, sources/evolve.py). Pre-evolution rows
+    surface quality as null; the oracle pins the equivalent logical
+    union over the raw table, so a wrong merge (dropped column, wrong
+    null-fill, misaligned types) breaks the hash."""
+    path = evolve.ensure_evolved_events(spark, sf_dir)
+    df = evolve.read_evolved(spark, path)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum("quality").cast("long").alias("sum_quality"),
+    )

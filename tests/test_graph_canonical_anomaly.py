@@ -1,6 +1,7 @@
 """Tests for round-3 additions: fixed-point PageRank, URL
-canonicalization, and the streaming rate-anomaly and
-heartbeat/silence queries."""
+canonicalization, the streaming rate-anomaly and heartbeat/silence
+queries, degree-oriented triangle counting, and schema-evolution
+reads."""
 
 from __future__ import annotations
 
@@ -247,3 +248,43 @@ class TestStreamingSilence:
         )
         q2.awaitTermination(300)
         assert sink2.read_merged(spark).count() == len(got)
+
+
+class TestTriangleCount:
+    def _run(self, spark, edges):
+        from spamscope_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return triangle_count(df).collect()[0]
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = self._run(spark, k4)
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+    def test_star_has_none_and_orientation_tames_the_hub(self, spark):
+        # a 1->{2..20} star: no triangles; with degree orientation every
+        # edge points INTO the hub, so the hub contributes zero wedges
+        star = [(1, i) for i in range(2, 21)]
+        r = self._run(spark, star)
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (20, 19, 0)
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        tri = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3), (1, 1)]
+        r = self._run(spark, tri)
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
+
+
+class TestSchemaEvolution:
+    def test_merged_read_nulls_pre_evolution_rows(self, spark):
+        from spamscope_spark.sources import evolve
+
+        path = evolve.ensure_evolved_events(spark, "/root/testdata/sf0.001")
+        df = evolve.read_evolved(spark, path)
+        assert "quality" in df.columns
+        evens = df.where(F.col("event_id") % 2 == 0)
+        odds = df.where(F.col("event_id") % 2 == 1)
+        assert evens.where(F.col("quality").isNotNull()).count() == 0
+        assert odds.where(F.col("quality").isNull()).count() == 0
+        raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        assert df.count() == raw.count()

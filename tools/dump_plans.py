@@ -53,6 +53,8 @@ AUDITED = {
     "q_salted_join": "replicate-and-salt skew join: a known-hot key fans out over n_salts reducers; semantically identical to the plain join (oracle is the plain join)",
     "q_approx_quantiles": "GK quantile sketch + exact twin share ONE groupBy exchange; at scale only the bounded-memory sketch branch runs",
     "q_silence_windows": "missing-event timeline: one partial-agg pass over raw events; densify/carry-forward run on count-table-sized rows (per-key sequence explode, broadcast 1-row global bound)",
+    "q_triangle_count": "degree-oriented triangle join: wedge fanout bounded by orientation (hub edges point inward); close against the canonical edge set on both endpoints",
+    "q_schema_evolution": "mergeSchema generations read: one unified scan over both file generations, null-fill for pre-evolution rows, single partial-agg exchange",
 }
 
 
