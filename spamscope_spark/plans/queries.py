@@ -40,6 +40,7 @@ from ..operators import (
     similarity,
     sketch,
     skew,
+    stats,
     timeseries,
 )
 from ..operators.enrich import enrich_turns
@@ -3698,4 +3699,53 @@ def q_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.count("quality").alias("n_with_quality"),
         F.sum("quality").cast("long").alias("sum_quality"),
+    )
+
+
+_PROFILE_COLS_SQL = [
+    ("event_id", "event_id"),
+    ("user_id", "user_id"),
+    ("value", "value"),
+    ("event_type", None),
+    ("ts", "CAST(floor(epoch(ts)) AS BIGINT)"),
+]
+
+
+@query("q_profile", stats.sql_profile_columns("events", _PROFILE_COLS_SQL))
+def q_profile(spark, sf_dir):
+    """distributed column profiling (the analyst's first query against
+    any new table): per-column row/null counts, EXACT distinct
+    cardinality, typed min/max — all from ONE aggregation pass over one
+    scan (operators/stats.py::profile_columns; the exact multi-column
+    distinct is Catalyst's expand shape — swap to
+    approx_count_distinct at 100 TB to drop the expand). String
+    columns profile counts/cardinality only; ts profiles on epoch
+    seconds (engine-portable, no timestamp-formatting hazards)."""
+    e = _t(spark, sf_dir, "events")
+    return stats.profile_columns(
+        e,
+        [
+            ("event_id", F.col("event_id")),
+            ("user_id", F.col("user_id")),
+            ("value", F.col("value")),
+            ("event_type", None),
+            ("ts", F.unix_timestamp("ts")),
+        ],
+    )
+
+
+@query(
+    "q_crosstab_chi2",
+    stats.sql_chi2_independence("events", "event_type", "dayofweek(ts)"),
+)
+def q_crosstab_chi2(spark, sf_dir):
+    """chi-square contingency: is event_type independent of day-of-week?
+    Per-cell observed/expected/contribution from one groupBy to the
+    |types| x 7 cell table; margins as window sums over cell-sized
+    rows; expected counts from exact integer totals
+    (operators/stats.py::chi2_independence). Day-of-week uses the
+    0=Sunday convention on both engines (Spark dayofweek()-1)."""
+    e = _t(spark, sf_dir, "events")
+    return stats.chi2_independence(
+        e, F.col("event_type"), (F.dayofweek("ts") - F.lit(1))
     )

@@ -288,3 +288,49 @@ class TestSchemaEvolution:
         assert odds.where(F.col("quality").isNull()).count() == 0
         raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         assert df.count() == raw.count()
+
+
+class TestStatsOperators:
+    def test_profile_counts_nulls_distinct_minmax(self, spark):
+        from spamscope_spark.operators.stats import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a", 2.0), (2, "a", None), (3, None, 8.0), (3, "b", 4.0)],
+            ["k", "s", "v"],
+        )
+        rows = {
+            r["col_name"]: r
+            for r in profile_columns(
+                df, [("k", F.col("k")), ("s", None), ("v", F.col("v"))]
+            ).collect()
+        }
+        k, s, v = rows["k"], rows["s"], rows["v"]
+        assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+        assert (k["min_num"], k["max_num"]) == (1.0, 3.0)
+        assert (s["n_nulls"], s["n_distinct"], s["min_num"]) == (1, 2, None)
+        assert (v["n_nulls"], v["n_distinct"], v["min_num"], v["max_num"]) == (
+            1, 3, 2.0, 8.0,
+        )
+
+    def test_chi2_uniform_table_has_zero_statistic(self, spark):
+        from spamscope_spark.operators.stats import chi2_independence
+
+        # perfectly independent 2x2 with equal margins: expected == n
+        rows = [("A", "x")] * 5 + [("A", "y")] * 5 + [("B", "x")] * 5 + [
+            ("B", "y")
+        ] * 5
+        df = spark.createDataFrame(rows, ["r0", "c0"])
+        out = chi2_independence(df, F.col("r0"), F.col("c0")).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r["n"] == 5 and r["expected"] == 5.0 and r["contrib"] == 0.0
+
+    def test_chi2_known_2x2(self, spark):
+        from spamscope_spark.operators.stats import chi2_independence
+
+        # cells: (A,x)=10 (A,y)=0 (B,x)=0 (B,y)=10 -> chi2 = N = 20
+        rows = [("A", "x")] * 10 + [("B", "y")] * 10
+        df = spark.createDataFrame(rows, ["r0", "c0"])
+        out = chi2_independence(df, F.col("r0"), F.col("c0")).collect()
+        # only populated cells appear (zeros don't exist as rows)
+        assert sum(r["contrib"] for r in out) == 10.0  # 5 + 5 from the 2 cells

@@ -55,6 +55,8 @@ AUDITED = {
     "q_silence_windows": "missing-event timeline: one partial-agg pass over raw events; densify/carry-forward run on count-table-sized rows (per-key sequence explode, broadcast 1-row global bound)",
     "q_triangle_count": "degree-oriented triangle join: wedge fanout bounded by orientation (hub edges point inward); close against the canonical edge set on both endpoints",
     "q_schema_evolution": "mergeSchema generations read: one unified scan over both file generations, null-fill for pre-evolution rows, single partial-agg exchange",
+    "q_profile": "single-pass profile: one scan, one agg (exact multi-distinct = expand shape), per-column rows exploded from the 1-row wide result",
+    "q_crosstab_chi2": "contingency: one groupBy to the cell table; margins window over cell-sized rows; grand total joins as broadcast 1-row agg",
 }
 
 
