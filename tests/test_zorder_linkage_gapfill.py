@@ -207,3 +207,76 @@ class TestSaltedJoin:
         assert sorted(map(tuple, salted.collect())) == sorted(
             map(tuple, plain.collect())
         )
+
+
+def _py_interleave(a: int, b: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+class TestSemanticsInvariants:
+    def test_morton_interleave_bijective_exhaustive(self, spark):
+        """All 256x256 quantized inputs in one job: the column expr
+        matches the Python spec bit-for-bit and is a bijection."""
+        rows = (
+            spark.range(256 * 256)
+            .select(
+                (F.col("id") / 256).cast("long").alias("a"),
+                (F.col("id") % 256).cast("long").alias("b"),
+            )
+            .select(
+                "a", "b", zorder.morton_interleave(F.col("a"), F.col("b")).alias("z")
+            )
+            .collect()
+        )
+        zs = set()
+        for r in rows:
+            assert r["z"] == _py_interleave(r["a"], r["b"]), (r["a"], r["b"])
+            zs.add(r["z"])
+        assert len(zs) == 256 * 256
+
+    def test_gap_fill_conservation_invariants(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = timeseries.gap_fill_hourly(ev).collect()
+        n_types = ev.select("event_type").distinct().count()
+        hours = {r["hour"] for r in out}
+        # dense grid: |types| x |hours|, every type covers every hour
+        assert len(out) == n_types * len(hours)
+        # activity conservation: zero-fill adds rows, never events
+        assert sum(r["n_events"] for r in out) == ev.count()
+        # carry-forward: null only before a type's first active hour
+        by_type: dict[str, list] = {}
+        for r in sorted(out, key=lambda r: (r["event_type"], r["hour"])):
+            by_type.setdefault(r["event_type"], []).append(r)
+        for rows_t in by_type.values():
+            seen_active = False
+            for r in rows_t:
+                if r["n_events"] > 0:
+                    seen_active = True
+                assert (r["avg_value_ffill"] is None) == (not seen_active)
+
+    def test_silence_counter_invariants(self, spark):
+        from spamscope_spark.operators.cep import silence_windows
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        cnt = ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        out = sorted(
+            silence_windows(cnt, "event_type", 3600).collect(),
+            key=lambda r: (r["event_type"], r["window_start"]),
+        )
+        assert any(r["is_silent"] for r in out)
+        prev: dict[str, int] = {}
+        for r in out:
+            # counter semantics: 0 iff active, else previous + 1
+            if r["n"] > 0:
+                assert r["windows_since_seen"] == 0 and not r["is_silent"]
+            else:
+                assert r["is_silent"]
+                assert r["windows_since_seen"] == prev[r["event_type"]] + 1
+            prev[r["event_type"]] = r["windows_since_seen"]
