@@ -38,6 +38,12 @@ class MetricsListener(StreamingQueryListener):
                         "operatorName": s.get("operatorName"),
                         "numRowsTotal": s.get("numRowsTotal"),
                         "memoryUsedBytes": s.get("memoryUsedBytes"),
+                        # late-data observability: rows the watermark
+                        # rejected (the reference silently never ages
+                        # its JsonMaker buffers; here drops are counted)
+                        "numRowsDroppedByWatermark": s.get(
+                            "numRowsDroppedByWatermark"
+                        ),
                     }
                     for s in d.get("stateOperators", [])
                 ],
@@ -67,6 +73,11 @@ class MetricsListener(StreamingQueryListener):
                 "batches": len(batches),
                 "data_batches": len(data),
                 "total_input_rows": rows,
+                "late_rows_dropped": sum(
+                    s.get("numRowsDroppedByWatermark") or 0
+                    for b in batches
+                    for s in b.get("stateOperators", [])
+                ),
                 "data_batch_ms": data_ms,
                 "sustained_rows_per_sec": (
                     round(rows / (data_ms / 1000.0), 1) if data_ms else None
