@@ -128,7 +128,7 @@ _GRADE_FIRST = [
 # q_shingle_signatures, and the final-session set q_zorder_pruned,
 # q_fuzzy_match, q_gap_fill, q_salted_join, q_approx_quantiles,
 # q_silence_windows, q_triangle_count, q_schema_evolution, q_profile,
-# q_crosstab_chi2) register AFTER the 50-slot window — every window
+# q_crosstab_chi2, q_event_paths) register AFTER the 50-slot window — every window
 # slot is already spoken for by a query with no prior driver-graded
 # row. They are hash-exact under the same gate locally
 # (tools/check_correctness.py) and rotate into the window next round.

@@ -401,3 +401,92 @@ def sql_silence_windows(
         n = 0 AS is_silent
     FROM dense
     """
+
+
+# ---------------------------------------------------------------------------
+# Ordered path aggregation: top user journeys
+# ---------------------------------------------------------------------------
+
+
+def top_paths(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    step_col: str,
+    tie_col: str,
+    k: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k full event paths (ordered step sequences) across keys —
+    the "most common user journeys" query behind every funnel/markov
+    analysis, built on a DETERMINISTIC ordered aggregation.
+
+    Determinism is the whole trick: `collect_list` order is undefined
+    under shuffles, so the sequence is assembled by sorting an array
+    of (ts, tie, step) structs AFTER collection — struct comparison is
+    lexicographic, and `tie_col` (a unique id) breaks timestamp ties,
+    so both engines serialize every key's path identically.
+
+    Scale shape: one groupBy(key) to assemble paths (per-key arrays,
+    bounded by per-key event counts — the same bound any sessionized
+    operator carries), one groupBy(path) over |keys| rows to count,
+    and a k-row TakeOrdered for the final ranking. Ties on count break
+    by path string so top-k is stable."""
+    path = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts).alias("t"),
+                        F.col(tie_col).alias("i"),
+                        F.col(step_col).alias("s"),
+                    )
+                )
+            ),
+            lambda x: x["s"],
+        ),
+        sep,
+    )
+    paths = df.groupBy(key).agg(path.alias("path"))
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_keys"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k + k-row merge — never a global sort of all distinct paths);
+    # the rank window then runs over at most k rows
+    topk = counts.orderBy(F.col("n_keys").desc(), "path").limit(k)
+    w = Window.orderBy(F.col("n_keys").desc(), "path")
+    return topk.select(
+        "path",
+        "n_keys",
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+def sql_top_paths(
+    table: str,
+    key: str,
+    ts: str,
+    step_col: str,
+    tie_col: str,
+    k: int = 20,
+    sep: str = ">",
+) -> str:
+    """DuckDB twin: ORDER BY inside string_agg gives the same
+    deterministic serialization."""
+    return f"""
+    WITH paths AS (
+        SELECT {key},
+               string_agg({step_col}, '{sep}' ORDER BY {ts}, {tie_col})
+                   AS path
+        FROM {table} GROUP BY {key}
+    ), counts AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_keys
+        FROM paths GROUP BY path
+    )
+    SELECT path, n_keys, rk FROM (
+        SELECT path, n_keys,
+               CAST(row_number() OVER (ORDER BY n_keys DESC, path) AS INTEGER)
+                   AS rk
+        FROM counts
+    )
+    WHERE rk <= {k}
+    """

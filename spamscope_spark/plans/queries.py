@@ -3749,3 +3749,19 @@ def q_crosstab_chi2(spark, sf_dir):
     return stats.chi2_independence(
         e, F.col("event_type"), (F.dayofweek("ts") - F.lit(1))
     )
+
+
+@query(
+    "q_event_paths",
+    cep.sql_top_paths("events", "user_id", "ts", "event_type", "event_id", k=20),
+)
+def q_event_paths(spark, sf_dir):
+    """top-20 most common full user journeys (ordered event-type
+    sequences per user) — the deterministic ordered-aggregation
+    primitive (operators/cep.py::top_paths): per-key struct-sort after
+    collection, never bare collect_list (whose order is
+    shuffle-dependent), event_id breaking timestamp ties on both
+    engines. One groupBy(user) + one groupBy(path) over user-count
+    rows + a k-row stable TakeOrdered."""
+    e = _t(spark, sf_dir, "events")
+    return cep.top_paths(e, "user_id", "ts", "event_type", "event_id", k=20)

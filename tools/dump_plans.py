@@ -57,6 +57,7 @@ AUDITED = {
     "q_schema_evolution": "mergeSchema generations read: one unified scan over both file generations, null-fill for pre-evolution rows, single partial-agg exchange",
     "q_profile": "single-pass profile: one scan, one agg (exact multi-distinct = expand shape), per-column rows exploded from the 1-row wide result",
     "q_crosstab_chi2": "contingency: one groupBy to the cell table; margins window over cell-sized rows; grand total joins as broadcast 1-row agg",
+    "q_event_paths": "ordered path agg: struct-sort after collection (deterministic), path counts over |keys| rows, top-k via TakeOrderedAndProject (no global sort)",
 }
 
 
