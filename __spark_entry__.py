@@ -51,87 +51,53 @@ def _shipped(fn: Callable) -> Callable:
 
 
 # The driver's correctness gate grades the FIRST 50 entries of queries().
-# Rounds 1-2 graded 50 distinct queries hash-green (CORRECTNESS_r01/r02);
-# this round rotates the remaining never-driver-graded queries — the
-# corpus-lifecycle suite plus the relational widening set — into the
-# front window, followed by the three formerly rows-only approximate
-# queries (now emitting in-query recall/planted-pair evidence) and the
-# queries whose implementation changed this round. Queries already
-# hash-green in a prior CORRECTNESS artifact fill the tail.
+# Round-4 window: cumulative driver-green stands at 94/127 after r3.
+# This round front-loads (a) the 27 queries that have NEVER had a
+# driver-graded row (they registered after r3's window filled), (b) the
+# 6 queries with a driver row but no green one — the 5 r3 hash-fails,
+# now fixed (their DuckDB twins leaked HUGEINT output columns, which a
+# pandas-side fetch renders as float64 '12.0' vs Spark's '12'; every
+# integer SUM is now CAST to BIGINT — reproduced and verified by
+# tools/check_dtypes.py, the new pandas-emulation mirror), plus
+# q_shingle_signatures (upgraded from rows-only to a planted-contract
+# hash oracle), and (c) the 2 already-green queries whose output schema
+# changed this round (DATE columns now emitted as ISO strings — DATE
+# renders asymmetrically across pandas fetch paths). The remaining 15
+# slots go to the least-recently-graded greens (r1-only first, then the
+# oldest r2 rows). Every query outside the window is hash-green in a
+# prior driver artifact AND under both local mirrors this session.
 _GRADE_FIRST = [
-    # never driver-graded before round 3 (q_tool_timeouts takes the
-    # slot q_shingle_signatures held earlier in the round: the shingle
-    # query has no SQL oracle, so a window slot only buys it a second
-    # rows-only row — its r01 rows-only row plus the udf-vs-python
-    # parity pytest already carry its evidence — while q_tool_timeouts
-    # is hash-oracled with no driver row at all)
-    "q_tool_timeouts", "q_approx_distinct", "q_percentiles",
-    "q_stats_agg", "q_cube", "q_ntile", "q_first_last", "q_range_window",
-    "q_array_hof", "q_nested_explode", "q_wordcount", "q_sample_hash",
-    "q_part_revenue", "q_dup_clusters", "q_dedup_apply",
-    "q_repetition_stats", "q_bigram_logprob", "q_redact",
-    "q_shard_packing", "q_decontaminate", "q_stratified_sample",
-    "q_doc_chunks", "q_tfidf", "q_grouping_sets", "q_unpivot",
-    "q_window_dedup", "q_mixture_weights", "q_length_histogram",
-    # rows-only in r02, upgraded this round (planted pairs / recall rows)
-    "q_embedding_neardup", "q_ann_lsh", "q_ann_ivf",
-    # new in round 3: real BMP/PPM decode (formerly the codec stub) and
-    # paragraph-level boilerplate dedup
-    "q_media_decode", "q_paragraph_dedup",
-    # new in round 3: incremental corpus-vs-new-batch dedup and the
-    # hashed linear quality classifier (taking the slots of
-    # q_post_chain and q_custom_projection — both unchanged since
-    # their hash-green rows in CORRECTNESS_r02)
-    "q_incremental_neardup", "q_hash_classifier",
-    # new in round 3: CEP sequence-pattern matching (MATCH_RECOGNIZE
-    # analog, operators/cep.py) and exact heavy hitters (local
-    # candidates + recount, operators/corpus.py)
-    "q_event_pattern", "q_heavy_hitters",
-    # new in round 3: SemDeDup-style k-means-clustered near-dup
-    # (density-following candidate generation vs LSH banding)
-    "q_semantic_dedup",
-    # new in round 3: BM25 full-text ranking (the Elasticsearch-analog
-    # query path), event-rate burst detection, and nearest-neighbor
-    # image resize over gradient fixtures (taking the slots of
-    # q_dedup_exact, q_simhash, and q_cosine_topk — all hash-green in
-    # CORRECTNESS_r02 with bodies unchanged since)
-    "q_bm25_search", "q_rate_anomaly", "q_media_resize",
-    # new in round 3: fixed-point PageRank (iterative link-graph rank,
-    # exact integer oracle), URL canonicalization, and normalized exact
-    # dedup — these have NO prior driver row, so they take the slots of
-    # q_media_features / q_minhash_lsh / q_ngram_jaccard, whose r3
-    # changes are plan-shape only (outputs identical, r02 rows
-    # hash-green, re-verified locally via tools/check_correctness)
-    "q_pagerank", "q_url_canonical", "q_norm_dedup",
-    # implementation touched this round — re-grade (the untouched,
-    # already-hash-green r02 queries q_phishing_score, q_rule_score,
-    # q_dialect_fingerprint, q_asof_join, q_time_band_join,
-    # q_tool_response_join moved to the tail to keep every never-graded
-    # query inside the 50-slot window)
-    "q_turns_flagship",
-    # new in round 3: bucketed co-located join and partition-pruned
-    # layout (taking the slots of q_sessionize_events and
-    # q_pricing_summary — both unchanged and already hash-green in
-    # r01 + r02 driver artifacts)
-    "q_bucketed_join", "q_partition_pruned",
-    # new in round 3: GPT-style sequence packing, DSIR importance
-    # weights, and CCNet perplexity tiers (taking the slots of
-    # q_top_customers and q_region_rollup — hash-green in r01 + r02 —
-    # and the window's one previously-unpinned slot)
-    "q_seq_packing", "q_dsir_weights", "q_ccnet_buckets",
+    # (a) never driver-graded: registered after round 3's window filled
+    "q_turn_integrity", "q_char_entropy", "q_audio_decode",
+    "q_video_decode", "q_kmv_distinct", "q_scd2_history",
+    "q_markov_transitions", "q_cohort_retention", "q_funnel",
+    "q_grouped_linreg", "q_scd2_pit", "q_cm_sketch",
+    "q_bloom_decontaminate", "q_substring_dedup", "q_weighted_sample",
+    "q_group_weighted_sample", "q_zorder_pruned", "q_fuzzy_match",
+    "q_gap_fill", "q_salted_join", "q_approx_quantiles",
+    "q_silence_windows", "q_triangle_count", "q_schema_evolution",
+    "q_profile", "q_crosstab_chi2", "q_event_paths",
+    # (b) driver-graded but never green — r3 hash-fails, HUGEINT fix
+    "q_repetition_stats", "q_mixture_weights", "q_pagerank",
+    "q_seq_packing", "q_dsir_weights",
+    # (b) rows-only in r1 (err: no_oracle) — now a planted-contract
+    # hash oracle (batch independence / self-similarity / prefix
+    # preservation, all provable from the kernel's construction)
+    "q_shingle_signatures",
+    # (c) output schema changed this round (DATE -> ISO string)
+    "q_date_funcs", "q_partition_pruned",
+    # least-recently graded greens: r1-only rows first
+    "q_minhash_signatures", "q_quality_filter", "q_distinct_count",
+    # ...then greens whose last driver row is r2
+    "q_pricing_summary", "q_top_customers", "q_region_rollup",
+    "q_order_rank_window", "q_running_total", "q_semi_join",
+    "q_anti_join", "q_set_ops", "q_json_extract", "q_topk_events",
+    "q_tumbling_window", "q_sliding_window",
 ]
-# Round-3 late additions (q_bloom_decontaminate, q_audio_decode,
-# q_kmv_distinct, q_turn_integrity, q_cm_sketch, q_weighted_sample,
-# q_scd2_history, q_scd2_pit, q_substring_dedup,
-# q_group_weighted_sample, q_char_entropy, q_grouped_linreg,
-# q_video_decode, q_cohort_retention, q_funnel, q_markov_transitions,
-# q_shingle_signatures, and the final-session set q_zorder_pruned,
-# q_fuzzy_match, q_gap_fill, q_salted_join, q_approx_quantiles,
-# q_silence_windows, q_triangle_count, q_schema_evolution, q_profile,
-# q_crosstab_chi2, q_event_paths) register AFTER the 50-slot window — every window
-# slot is already spoken for by a query with no prior driver-graded
-# row. They are hash-exact under the same gate locally
-# (tools/check_correctness.py) and rotate into the window next round.
+# Tail: every remaining query is hash-green in CORRECTNESS_r02 or _r03
+# and re-verified locally this session via BOTH mirrors
+# (tools/check_correctness.py fetchall + %.9g; tools/check_dtypes.py
+# pandas + str()), so a window slot buys them nothing new.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

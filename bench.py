@@ -477,18 +477,27 @@ def run_stream_scaling() -> dict:
     # replaced exactly as eagerly when the remaining median reads 0.95
     # as when it reads 0.7, so it cannot bias the headline toward the
     # pass bar.
-    while (
-        not over_budget()
-        and len(pairs) < SCALE_REPS + MAX_RETRIES
-        and sum(
+    def strict_valid() -> int:
+        return sum(
             1
             for p in pairs
             if max(p[0]["steal_pct"], p[1]["steal_pct"]) <= STEAL_MAX_PCT
             and pair_eff(p) <= SUPERLINEAR_CAP
         )
-        < SCALE_REPS
+
+    while (
+        not over_budget()
+        and len(pairs) < SCALE_REPS + MAX_RETRIES
+        and strict_valid() < SCALE_REPS
     ):
+        before = strict_valid()
         run_pair("replace")
+        if strict_valid() == before:
+            # The replacement draw was itself invalid: the host is
+            # persistently steal-polluted, and sane_pairs() will fall
+            # back to the less-filtered set anyway — stop burning the
+            # budget on draws the filters will reject too.
+            break
 
     # Variance-triggered extras: the PRIMARY statistic is the MEDIAN of
     # sane pair efficiencies, so extra draws are spent when the draws

@@ -393,7 +393,7 @@ def sql_repetition_stats(
     ), top AS (
         SELECT {id_col}, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
                    AS top_word_frac,
-               SUM(c) AS n_words
+               CAST(SUM(c) AS BIGINT) AS n_words
         FROM cnt GROUP BY {id_col}
     )
     SELECT n.{id_col}, n.dup_line_frac, n.dup_ngram_frac,
@@ -1314,9 +1314,12 @@ def sql_seq_packing(
         f"CAST(len(string_split_regex(trim(coalesce({text_col}, '')),"
         f" '\\s+')) AS BIGINT)"
     )
+    # CAST matters: DuckDB SUM(BIGINT) yields HUGEINT, which a pandas
+    # fetch downcasts to float64 ('12.0' vs Spark's '12') — every
+    # integer output column must leave the oracle as BIGINT.
     start = (
-        f"(SUM(n_tokens) OVER (PARTITION BY {group_col}, bucket"
-        f" ORDER BY {id_col} ROWS UNBOUNDED PRECEDING) - n_tokens)"
+        f"CAST(SUM(n_tokens) OVER (PARTITION BY {group_col}, bucket"
+        f" ORDER BY {id_col} ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)"
     )
     return f"""
     WITH t AS (
@@ -1467,7 +1470,7 @@ def sql_dsir_weights(
     )
     SELECT d.{id_col},
            round(SUM(d.n_db * m.lr) / SUM(d.n_db), 6) AS dsir_logweight,
-           SUM(d.n_db) AS n_tok
+           CAST(SUM(d.n_db) AS BIGINT) AS n_tok
     FROM doc_b d JOIN model m USING (bucket)
     GROUP BY d.{id_col}
     """

@@ -132,7 +132,8 @@ def sql_pagerank(
             + ({damp_num} * COALESCE(s.s, 0)) // {damp_den} AS rank
         FROM nodes CROSS JOIN params
         LEFT JOIN (
-            SELECT e.dst AS node, SUM(pr{i}.rank // outdeg.outdeg) AS s
+            SELECT e.dst AS node,
+                CAST(SUM(pr{i}.rank // outdeg.outdeg) AS BIGINT) AS s
             FROM e
             JOIN pr{i} ON pr{i}.node = e.src
             JOIN outdeg ON outdeg.src = e.src

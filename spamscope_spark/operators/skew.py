@@ -94,7 +94,19 @@ def salted_join(
     small side shuffles n_salts copies — use for medium dimension
     tables that are too big to broadcast but far smaller than the fact
     side; for broadcast-sized dims just broadcast (no salt needed).
-    Both sides must share the join column names in `keys`."""
+    Both sides must share the join column names in `keys`.
+
+    Only inner/left are accepted: replicate-and-salt emits each
+    unmatched small-side row once per salt under right/full outer, and
+    silently breaks semi/anti semantics (the small side is the
+    replicated one, so existence tests see phantom copies)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "replicate-and-salt cannot preserve right/full/semi/anti "
+            "semantics (the replicated small side would emit each "
+            "unmatched row n_salts times)"
+        )
     b = big.withColumn("_salt", salt_column(salt_source, n_salts))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

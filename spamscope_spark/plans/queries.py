@@ -1763,7 +1763,12 @@ def q_string_funcs(spark, sf_dir):
 @query(
     "q_date_funcs",
     """
-    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS order_day,
+    -- DATE output columns are cast to VARCHAR on both sides: pandas
+    -- fetches Spark DATE as datetime.date ('1995-07-16') but DuckDB
+    -- DATE as datetime64 ('1995-07-16 00:00:00') — strings render
+    -- identically under every fetch path.
+    SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS VARCHAR)
+        AS order_day,
         CAST(extract(dow FROM o_orderdate) AS INTEGER) AS dow,
         CAST(COUNT(*) AS BIGINT) AS n,
         round(SUM(o_totalprice), 2) AS total
@@ -1776,7 +1781,10 @@ def q_date_funcs(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(
-            F.to_date(F.date_trunc("day", "o_orderdate")).alias("order_day"),
+            # string output: DATE renders asymmetrically across pandas
+            # fetch paths (see oracle comment)
+            F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd")
+            .alias("order_day"),
             (F.dayofweek("o_orderdate") - 1).alias("dow"),
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
@@ -1917,14 +1925,110 @@ def q_quality_filter(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
-@query("q_shingle_signatures")  # pandas_udf fuzzy hash: rows-only (pytest covers parity)
+# --- q_shingle_signatures: planted-contract verdict form -------------------
+#
+# The fuzzy hash itself is not SQL-expressible, but three of its
+# CONTRACTS are provable from the kernel's construction, so the query
+# emits per-planted-doc verdict columns whose correct value the DuckDB
+# oracle states exactly (same pattern as the ANN planted-pair queries):
+#
+#   batch_stable      sig(text) is independent of Arrow batch
+#                     composition — pass A hashes the planted subset
+#                     alone, pass B hashes the full corpus under a
+#                     different partitioning; straddle-window masking
+#                     guarantees equality (fingerprints.py:75-77).
+#   self_sim_e6       similarity(sig, sig) == 1.0 exactly for any
+#                     non-empty signature (Jaccard of equal sets).
+#   prefix_preserved  appending a suffix changes ONLY the chunks that
+#                     contain appended bytes: every original anchor
+#                     window (position <= orig_len-7) keeps its roll
+#                     value, so the extended signature's body starts
+#                     with the original body — the ssdeep local-edit
+#                     contract (reference role:
+#                     src/modules/attachments/utils.py:44-86).
+#
+# Provability needs two gates, both integer-SQL-expressible:
+#   blen >= 7            the kernel's full-window path (WINDOW=7)
+#   tier-stable          _mod_for_length(blen) == _mod_for_length(
+#                        blen+64): the adaptive modulus tier flips at
+#                        blen = 392*2^k (mod=8 while floor(n/8)<=48,
+#                        then doubles), so stability just excludes the
+#                        64 bytes below each boundary.
+
+SHINGLE_SUFFIX = (
+    " shingle-probe-suffix 0123456789 abcdefghijklmnopqrstuvwxyz ---."
+)
+assert len(SHINGLE_SUFFIX.encode()) == 64
+_SHINGLE_TIER_BOUNDS = [392 * (1 << k) for k in range(12)]  # up to ~800 KB
+_SQL_SHINGLE_UNSTABLE = " OR ".join(
+    f"blen BETWEEN {b - 64} AND {b - 1}" for b in _SHINGLE_TIER_BOUNDS
+)
+
+
+@query(
+    "q_shingle_signatures",
+    f"""
+    WITH p AS (
+        SELECT doc_id, strlen(coalesce(text, '')) AS blen
+        FROM documents
+        WHERE doc_id % 7 = 0 AND strlen(coalesce(text, '')) >= 7
+          AND NOT ({_SQL_SHINGLE_UNSTABLE})
+    )
+    SELECT doc_id, blen // 64 AS len_bucket,
+           TRUE AS batch_stable,
+           CAST(1000000 AS BIGINT) AS self_sim_e6,
+           TRUE AS prefix_preserved
+    FROM p
+    """,
+)
 def q_shingle_signatures(spark, sf_dir):
     """ssdeep-like content-defined-chunking signatures (the sanctioned
-    pandas_udf), over documents."""
-    from ..functions.fingerprints import shingle_signature_udf
+    pandas_udf) with in-query planted-contract verdicts — see the
+    block comment above for the three contracts and why each is
+    provable. A kernel regression (masking bug, anchor drift, chunk
+    fold change) flips a verdict column to false and hash-fails
+    against the oracle's stated truth."""
+    from ..functions.fingerprints import shingle_signature_udf, shingle_similarity
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", shingle_signature_udf(F.col("text")).alias("shingle_sig"))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    blen = F.octet_length(t)
+    stable = F.lit(True)
+    for b in _SHINGLE_TIER_BOUNDS:
+        stable = stable & ~blen.between(b - 64, b - 1)
+    planted = d.select(
+        "doc_id", t.alias("t"), blen.alias("blen")
+    ).where((F.col("doc_id") % 7 == 0) & (blen >= 7) & stable)
+    # pass A: planted subset alone — small batches, planted-only tiers
+    a = planted.select(
+        "doc_id",
+        "blen",
+        shingle_signature_udf(F.col("t")).alias("sig_a"),
+        shingle_signature_udf(
+            F.concat(F.col("t"), F.lit(SHINGLE_SUFFIX))
+        ).alias("sig_ext"),
+    )
+    # pass B: full corpus under a different partitioning — each Arrow
+    # batch mixes planted and decoy texts, exercising the tier-buffer
+    # straddle masking that batch independence depends on
+    b = d.repartition(7, "lang").select(
+        "doc_id",
+        shingle_signature_udf(F.coalesce(F.col("text"), F.lit(""))).alias(
+            "sig_b"
+        ),
+    )
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        F.expr("blen div 64").alias("len_bucket"),
+        (F.col("sig_a") == F.col("sig_b")).alias("batch_stable"),
+        F.round(shingle_similarity(F.col("sig_a"), F.col("sig_b")) * 1e6)
+        .cast("long")
+        .alias("self_sim_e6"),
+        F.expr(
+            "substring(sig_ext, 1, length(sig_a) - 1)"
+            " = substring(sig_a, 1, length(sig_a) - 1)"
+        ).alias("prefix_preserved"),
+    )
 
 
 # ===========================================================================
@@ -2076,7 +2180,8 @@ def q_markov_transitions(spark, sf_dir):
             date_diff('day', c.cohort_day, date_trunc('day', e.ts)) AS day_offset
         FROM events e JOIN cohorts c USING (user_id)
     )
-    SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+        CAST(day_offset AS INTEGER) AS day_offset,
         CAST(COUNT(*) AS BIGINT) AS n_active,
         round(COUNT(*) / CAST(MAX(cohort_size) AS DOUBLE), 6) AS retention
     FROM (
@@ -2114,7 +2219,9 @@ def q_cohort_retention(spark, sf_dir):
     w = Window.partitionBy("cohort_day")
     size = F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(w)
     return g.select(
-        "cohort_day",
+        # string output: DATE renders asymmetrically across pandas
+        # fetch paths (q_date_funcs oracle comment)
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.col("day_offset").cast("int").alias("day_offset"),
         "n_active",
         F.round(F.col("n_active") / size.cast("double"), 6).alias("retention"),
@@ -2591,7 +2698,7 @@ def q_bucketed_join(spark, sf_dir):
 @query(
     "q_partition_pruned",
     """
-    SELECT event_type, CAST(ts AS DATE) AS event_date,
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
            CAST(COUNT(*) AS BIGINT) AS n,
            round(SUM(value), 2) AS total_value
     FROM events
@@ -2613,7 +2720,12 @@ def q_partition_pruned(spark, sf_dir):
             F.col("event_type").isin("click", "purchase")
             & (F.col("event_date") >= F.lit("2024-01-15").cast("date"))
         )
-        .groupBy("event_type", "event_date")
+        .groupBy(
+            "event_type",
+            # string output: DATE renders asymmetrically across pandas
+            # fetch paths (q_date_funcs oracle comment)
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
@@ -2995,7 +3107,10 @@ _SQL_MIX_TARGET = "(CASE " + " ".join(
     "q_mixture_weights",
     f"""
     WITH t AS (
-        SELECT lang, SUM({_SQL_TOKS}) AS lang_tokens FROM documents
+        -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas fetches as
+        -- float64 ('12.0' vs Spark's '12' under a str() normalizer)
+        SELECT lang, CAST(SUM({_SQL_TOKS}) AS BIGINT) AS lang_tokens
+        FROM documents
         GROUP BY lang
     )
     SELECT lang, lang_tokens,

@@ -29,12 +29,38 @@ def evolved_events_path(sf_dir: str) -> str:
     return os.path.join(EVOLVE_ROOT, f"events_{sf_key}")
 
 
+def source_fingerprint(sf_dir: str, table: str = "events") -> str:
+    """mtime+size of the source parquet — stored in the layout marker
+    so a regenerated source invalidates the cached derived layout
+    (without this, a rebuilt events.parquet would silently diverge
+    from the stale cache and the oracle, which reads the raw table).
+    Handles both single-file and directory-of-parts layouts."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        parts = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    else:
+        parts = [p]
+    sig = ";".join(
+        f"{os.path.basename(f)}:{int(os.path.getmtime(f))}:{os.path.getsize(f)}"
+        for f in parts
+    )
+    return sig
+
+
 def ensure_evolved_events(spark: SparkSession, sf_dir: str) -> str:
-    """Write the two-generation layout once per sf; idempotent."""
+    """Write the two-generation layout once per (sf, source version);
+    the marker records the source parquet's fingerprint, so a
+    regenerated source triggers a rebuild instead of serving a stale
+    cached layout."""
     path = evolved_events_path(sf_dir)
     done = os.path.join(path, "_DONE")
+    fp = source_fingerprint(sf_dir)
     if os.path.exists(done):
-        return path
+        with open(done) as f:
+            if f.read().strip() == fp:
+                return path
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     base = ev.select("event_id", "event_type", "value")
     base.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
@@ -47,7 +73,7 @@ def ensure_evolved_events(spark: SparkSession, sf_dir: str) -> str:
         .parquet(os.path.join(path, "gen=2"))
     )
     with open(done, "w") as f:
-        f.write("ok\n")
+        f.write(fp + "\n")
     return path
 
 

@@ -37,6 +37,8 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from .evolve import source_fingerprint
+
 Z_ROOT = os.environ.get("SPARK_GRAFT_ZORDER_DIR", "/tmp/spamscope_zorder")
 
 N_FILES = 32
@@ -78,8 +80,14 @@ def ensure_zorder_events(
     dimension bounds and per-file min/max stats. Idempotent per sf."""
     path = zorder_events_path(sf_dir)
     manifest_path = os.path.join(path, "_zmanifest.json")
+    src_fp = source_fingerprint(sf_dir)
     if os.path.exists(manifest_path):
-        return path
+        try:
+            with open(manifest_path) as f:
+                if json.load(f).get("source") == src_fp:
+                    return path
+        except (json.JSONDecodeError, OSError):
+            pass  # unreadable manifest: rebuild
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ev = ev.withColumn("_ut", F.unix_timestamp("ts"))
@@ -121,6 +129,10 @@ def ensure_zorder_events(
     doc = {
         "dims": ["user_id", "unix_timestamp(ts)"],
         "bits": bits,
+        # source fingerprint: a regenerated events.parquet invalidates
+        # this layout instead of silently diverging from the oracle's
+        # raw-table read
+        "source": src_fp,
         "global": {k: int(gb[k]) for k in ("umin", "umax", "tmin", "tmax")},
         "files": [
             {
@@ -184,7 +196,6 @@ def pruned_scan(
     files, _total = select_files(path, u_lo, u_hi, t_lo, t_hi)
     if not files:
         df = spark.read.parquet(path).limit(0)
-        files = None
     else:
         df = spark.read.parquet(*files)
     cond = F.lit(True)

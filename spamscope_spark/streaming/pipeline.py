@@ -26,7 +26,7 @@ from typing import Any
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
@@ -963,23 +963,28 @@ def start_silence_query(
 
     Same architecture as the anomaly query: a watermarked tumbling
     count in append mode is the only wide stage over raw turns; the
-    foreachBatch pass re-derives the dense timeline from
-    [sink history ∪ batch] with the SAME silence_windows kernel the
-    batch q_silence_windows query uses, and emits the rows not yet
-    committed. Finality: a (window, key) row depends only on that
-    key's activity at windows <= it, all of which are watermark-closed
-    by the time the window itself closes — so rows never change after
-    emission and MERGE idempotence absorbs replays. A key silent
-    FOREVER keeps accruing rows as later windows close (the global
-    max observed window advances), which is exactly what a heartbeat
-    monitor must do — the reference's analog is the spout failing
-    stuck `.processing` files after fail.after.seconds
+    foreachBatch pass extends each key's dense timeline and emits the
+    newly-closed windows. Finality: a (window, key) row depends only on
+    that key's activity at windows <= it, all of which are
+    watermark-closed by the time the window itself closes — so rows
+    never change after emission and MERGE idempotence absorbs replays.
+    A key silent FOREVER keeps accruing rows as later windows close
+    (the global max observed window advances), which is exactly what a
+    heartbeat monitor must do — the reference's analog is the spout
+    failing stuck `.processing` files after fail.after.seconds
     (src/spouts/files_mails.py:72-79), a per-item timeout this
-    operator generalizes to per-key timeline gaps."""
-    from ..operators import cep
+    operator generalizes to per-key timeline gaps.
 
+    BOUNDED STATE (r4): extending a key's timeline needs only
+    (last_active, last_emitted) per key — not the sink's full history.
+    Each epoch persists one |keys|-row state snapshot beside the
+    output; per-batch cost is O(|keys| + new windows), constant in
+    stream lifetime (the r3 form re-read the whole sink and
+    re-densified every key's full timeline each epoch — O(T^2)
+    cumulative over a long-lived monitor)."""
     _apply_state_store(spark, cfg)
     sink = IdempotentSink(cfg.output("silence"), keys=["window_start", key])
+    state_sink = IdempotentSink(cfg.output("silence_state"), keys=[key])
     src = read_turns_stream(spark, cfg)
     cnt = (
         src.withWatermark("ts", cfg.watermark)
@@ -989,39 +994,112 @@ def start_silence_query(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), key, "n")
     )
+    ival = F.expr(f"interval {bucket_s} seconds")
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         fresh = batch_df.select("window_start", key, "n")
-        # History and the already-emitted set come from epochs STRICTLY
-        # BEFORE this one (read_asof): on a crash-replay of epoch E the
-        # sink may already hold E's own rows, and reading them back
-        # would anti-join this epoch's recomputation down to empty and
-        # overwrite E's directory with nothing. Excluding E makes the
-        # replay recompute the identical rows (the kernel is
+        # State comes from epochs STRICTLY BEFORE this one (read_asof):
+        # on a crash-replay of epoch E the state sink may already hold
+        # E's own snapshot, and resuming from it would start the
+        # timeline after the replayed windows. Excluding E makes the
+        # replay recompute the identical rows (the extension is
         # deterministic over closed windows) and overwrite E with the
         # same content — exactly-once by convergence, the same property
         # process_batch's always-overwrite contract assumes.
-        prior = sorted(e for e in sink.committed_epochs() if e < epoch)
+        prior = sorted(e for e in state_sink.committed_epochs() if e < epoch)
         if prior:
-            prior_df = sink.read_asof(spark, prior[-1])
-            hist = prior_df.where(~F.col("is_silent")).select(
-                "window_start", key, "n"
-            )
-            allc = hist.unionByName(fresh).dropDuplicates(
-                ["window_start", key]
+            st = state_sink.read_asof(spark, prior[-1]).select(
+                key, "last_active", "last_emitted"
             )
         else:
-            allc = fresh
-        dense = cep.silence_windows(allc, key, bucket_s)
-        if prior:
-            done = prior_df.select("window_start", key)
-            dense = dense.join(done, ["window_start", key], "left_anti")
-        sink.process_batch(
-            dense.select(
-                "window_start", key, "n", "windows_since_seen", "is_silent"
-            ),
-            epoch,
+            schema = f"{key} string, last_active timestamp, last_emitted timestamp"
+            st = spark.createDataFrame([], schema)
+        # Per-key summary of the newly closed windows. Append mode
+        # delivers a (window, key) row exactly once, when the watermark
+        # passes the window end; window closure is GLOBAL (one
+        # watermark), so every arriving window is > every previously
+        # emitted window — the timeline only ever extends forward.
+        fkeys = fresh.groupBy(key).agg(
+            F.min("window_start").alias("_f_first")
         )
+        merged = st.join(fkeys, key, "full_outer").select(
+            key,
+            F.col("last_active").alias("_base_lastact"),
+            # first window this epoch must emit for the key: one past
+            # its last emission, or its first-seen window if new
+            F.coalesce(
+                F.col("last_emitted") + ival, F.col("_f_first")
+            ).alias("_start_w"),
+        )
+        # Global emission bound: the max closed window observed so far.
+        # One broadcast 1-row aggregate — never a driver action.
+        gmax = F.broadcast(
+            fresh.select(F.col("window_start").alias("_b"))
+            .unionByName(st.select(F.col("last_emitted").alias("_b")))
+            .agg(F.max("_b").alias("_gmax"))
+        )
+        grid = (
+            merged.crossJoin(gmax)
+            .where(F.col("_start_w") <= F.col("_gmax"))
+            .select(
+                key,
+                "_base_lastact",
+                F.explode(
+                    F.sequence("_start_w", "_gmax", ival)
+                ).alias("window_start"),
+            )
+        )
+        dense = grid.join(fresh, [key, "window_start"], "left").withColumn(
+            "n", F.coalesce("n", F.lit(0))
+        )
+        w = (
+            Window.partitionBy(key)
+            .orderBy("window_start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        lact = F.coalesce(
+            F.last(
+                F.when(F.col("n") > 0, F.col("window_start")),
+                ignorenulls=True,
+            ).over(w),
+            F.col("_base_lastact"),
+        )
+        emitted = dense.select(
+            "window_start",
+            key,
+            "n",
+            (
+                (F.unix_timestamp("window_start") - F.unix_timestamp(lact))
+                / bucket_s
+            )
+            .cast("long")
+            .alias("windows_since_seen"),
+            (F.col("n") == 0).alias("is_silent"),
+        )
+        sink.process_batch(emitted, epoch)
+        # New state snapshot: |keys| rows. Keys with nothing to emit
+        # this epoch pass through unchanged (anti-join side).
+        extended = (
+            dense.groupBy(key)
+            .agg(
+                F.max(
+                    F.when(F.col("n") > 0, F.col("window_start"))
+                ).alias("_new_act"),
+                F.max("window_start").alias("last_emitted"),
+                F.first("_base_lastact").alias("_base_lastact"),
+            )
+            .select(
+                key,
+                F.coalesce(
+                    F.greatest("_new_act", "_base_lastact"),
+                    "_new_act",
+                    "_base_lastact",
+                ).alias("last_active"),
+                "last_emitted",
+            )
+        )
+        untouched = st.join(extended.select(key), key, "left_anti")
+        state_sink.process_batch(extended.unionByName(untouched), epoch)
 
     writer = (
         cnt.writeStream.foreachBatch(process)
