@@ -88,11 +88,13 @@ _GRADE_FIRST = [
     "q_date_funcs", "q_partition_pruned",
     # least-recently graded greens: r1-only rows first
     "q_minhash_signatures", "q_quality_filter", "q_distinct_count",
+    # new in round 4 (no driver row yet): exact phrase search
+    # (match_phrase analog) and n-gram containment decontamination
+    "q_phrase_search", "q_containment_decon",
     # ...then greens whose last driver row is r2
     "q_pricing_summary", "q_top_customers", "q_region_rollup",
     "q_order_rank_window", "q_running_total", "q_semi_join",
     "q_anti_join", "q_set_ops", "q_json_extract", "q_topk_events",
-    "q_tumbling_window", "q_sliding_window",
 ]
 # Tail: every remaining query is hash-green in CORRECTNESS_r02 or _r03
 # and re-verified locally this session via BOTH mirrors

@@ -666,6 +666,98 @@ def sql_decontaminate(
     """
 
 
+def containment_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """N-gram CONTAINMENT decontamination — the asymmetric upgrade of
+    `decontaminate`: a benchmark item counts as leaked when the
+    FRACTION of its distinct n-grams found in a training doc is >=
+    threshold, even though the training doc is far larger (Jaccard
+    would dilute toward 0 as the train doc grows — containment
+    |A∩B| / |B| is the right statistic when B is a short eval item
+    embedded in a long crawled page; the near-dup-overlap rule of the
+    GPT-3/Pile decontamination appendix, Brown et al. 2020 §C).
+
+    Returns (doc_id, bench_id, n_shared, n_bench, containment) for
+    pairs at or above threshold. containment is an exact ratio of two
+    BIGINTs — one IEEE division, bit-identical across engines.
+
+    Shape (100 TB): benchmark n-gram sets are the SMALL side (eval
+    suites are KBs) → DISTINCT once, broadcast; the corpus explodes its
+    distinct shingles partition-locally and the broadcast join filters
+    to matches map-side, so nothing wide ever shuffles; the pair
+    aggregate is bounded by |matching pairs|, not corpus size."""
+    from .dedup import word_shingles
+
+    c = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("shingle"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("shingle"),
+    )
+    bsize = b.groupBy(bench_id_col).agg(F.count(F.lit(1)).alias("n_bench"))
+    shared = (
+        c.join(F.broadcast(b), on="shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(bsize), bench_id_col)
+        .withColumn(
+            "containment", F.col("n_shared") / F.col("n_bench").cast("double")
+        )
+        .where(F.col("containment") >= threshold)
+        .select(id_col, bench_id_col, "n_shared", "n_bench", "containment")
+    )
+
+
+def sql_containment_decontaminate(
+    corpus_sql: str,
+    benchmark_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> str:
+    from .dedup import sql_word_shingles
+
+    sh = sql_word_shingles(text_col, n)
+    return f"""
+    WITH c AS (
+        SELECT {id_col}, unnest(list_distinct({sh})) AS shingle
+        FROM ({corpus_sql})
+    ), b AS (
+        SELECT {bench_id_col}, unnest(list_distinct({sh})) AS shingle
+        FROM ({benchmark_sql})
+    ), bsize AS (
+        SELECT {bench_id_col}, CAST(COUNT(*) AS BIGINT) AS n_bench
+        FROM b GROUP BY {bench_id_col}
+    ), shared AS (
+        SELECT c.{id_col}, b.{bench_id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM c JOIN b USING (shingle)
+        GROUP BY c.{id_col}, b.{bench_id_col}
+    )
+    SELECT s.{id_col}, s.{bench_id_col}, s.n_shared, z.n_bench,
+           s.n_shared / CAST(z.n_bench AS DOUBLE) AS containment
+    FROM shared s JOIN bsize z USING ({bench_id_col})
+    WHERE s.n_shared / CAST(z.n_bench AS DOUBLE) >= {threshold}
+    """
+
+
 def _bloom_pos(shingle, i: int, m_bits: int):
     """Bit position i for a shingle: md5('<i>:'+shingle)[0:12] % m —
     12 hex chars (48 bits) so the modulo is unbiased for any practical

@@ -176,3 +176,102 @@ def sql_bm25_topk(
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase matching (ES match_phrase analog)
+# ---------------------------------------------------------------------------
+
+
+def phrase_search_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    phrases: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents per query by EXACT phrase occurrence count — the
+    Elasticsearch `match_phrase` analog (the reference indexes mails to
+    ES precisely so analysts can run such queries;
+    src/bolts/output_elasticsearch.py:30-107). ``phrases`` is a list of
+    (query_id, phrase) with space-separated terms.
+
+    Shape (100 TB): NOT a positional-postings self-join — for a small
+    query set (the search workload: O(10-100) phrases vs O(10^9) docs)
+    the Spark-first form is a per-document ARRAY SCAN: tokenize once in
+    the scan projection, cross the broadcast phrase dimension, and
+    count matching token windows with pure array expressions (slice +
+    array_join inside whole-stage codegen). Zero shuffles before the
+    bounded top-k window; cost is |docs| x |phrases| codegen'd scans of
+    in-memory token arrays, embarrassingly parallel. (A postings join
+    only wins when the phrase set is itself huge.) All-integer output:
+    no float hazard between engines."""
+    pdim = spark.createDataFrame(phrases, "query_id string, phrase string")
+    d = df.select(F.col(id_col), _tokens(text_col).alias("toks"))
+    pt = F.split(F.col("phrase"), " ")
+    n_win = F.size("toks") - F.size(pt) + 1
+    occ = F.when(
+        n_win >= 1,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+                lambda i: F.array_join(F.slice("toks", i, F.size(pt)), " ")
+                == F.col("phrase"),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    m = (
+        d.crossJoin(F.broadcast(pdim))
+        .select(
+            "query_id",
+            id_col,
+            occ.cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_occurrences").desc(), F.col(id_col).asc()
+    )
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "n_occurrences", "rank")
+    )
+
+
+def sql_phrase_search_topk(
+    table: str,
+    phrases: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 10,
+) -> str:
+    """DuckDB twin — same tokenizer, same window-scan count, same
+    tie-break. list_slice is end-INCLUSIVE (i .. i+L-1), matching
+    Spark's slice(toks, i, L) start+length form."""
+    values = ", ".join(f"('{q}', '{t}')" for q, t in phrases)
+    toks = (
+        f"list_filter(string_split_regex(lower(trim(coalesce({text_expr},"
+        f" ''))), '\\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH d AS (
+        SELECT {id_col}, {toks} AS toks FROM {table}
+    ), q(query_id, phrase) AS (VALUES {values}),
+    m AS (
+        SELECT query_id, {id_col},
+            CAST(CASE WHEN len(toks) - len(string_split(phrase, ' ')) + 1 >= 1
+                THEN len(list_filter(
+                    range(1, len(toks) - len(string_split(phrase, ' ')) + 2),
+                    i -> array_to_string(list_slice(toks, i,
+                        i + len(string_split(phrase, ' ')) - 1), ' ') = phrase))
+                ELSE 0 END AS BIGINT) AS n_occurrences
+        FROM d CROSS JOIN q
+    )
+    SELECT query_id, {id_col}, n_occurrences, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY n_occurrences DESC, {id_col} ASC) AS INT) AS rank
+        FROM m WHERE n_occurrences > 0
+    ) WHERE rank <= {k}
+    """

@@ -2870,6 +2870,55 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+# Containment benchmark fixture: eval items are the first 25 words of
+# every 31st doc — the "short eval question embedded in a long crawled
+# page" shape. The source doc provably contains 100% of its own item's
+# 5-grams, so the planted pairs sit at containment 1.0; any other pair
+# crossing the threshold is real boilerplate overlap, computed
+# identically by both engines (integer counts + one IEEE division).
+_SQL_BENCH_TOKS = (
+    "string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')"
+)
+_SQL_BENCH_ITEMS = (
+    "SELECT doc_id AS bench_id, array_to_string(list_slice("
+    f"{_SQL_BENCH_TOKS}, 1, 25), ' ') AS text "
+    "FROM documents WHERE doc_id % 31 = 0"
+)
+
+
+def _bench_items(d):
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
+    return d.where(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 1, 25), " ").alias("text"),
+    )
+
+
+@query(
+    "q_containment_decon",
+    corpus.sql_containment_decontaminate(
+        "SELECT doc_id, text FROM documents",
+        _SQL_BENCH_ITEMS,
+        n=5,
+        threshold=0.8,
+    ),
+)
+def q_containment_decon(spark, sf_dir):
+    """n-gram CONTAINMENT decontamination (GPT-3/Pile-style near-dup
+    overlap): a benchmark item is leaked when >=80% of its distinct
+    5-grams appear in a training doc — the asymmetric statistic that
+    catches a short eval item embedded in a long page, where Jaccard
+    dilutes to ~0. Benchmark side is broadcast; planted self-pairs
+    prove recall at containment 1.0 (operators/corpus.py
+    containment_decontaminate)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.containment_decontaminate(
+        d.select("doc_id", "text"), _bench_items(d), n=5, threshold=0.8
+    )
+
+
 @query(
     "q_bloom_decontaminate",
     corpus.sql_bloom_decontaminate(
@@ -3338,6 +3387,40 @@ def q_bm25_search(spark, sf_dir):
         "doc_id", derived_text().alias("text")
     )
     return search.bm25_topk(spark, d, BM25_QUERY_TERMS, k=10)
+
+
+# match_phrase workload: injected multi-word phrases (doc_id % 11 / % 13
+# carriers), a single-term phrase (L=1 path), and a guaranteed-miss
+# phrase (empty result group — exercises the no-match path on both
+# engines).
+PHRASE_QUERIES = [
+    ("q_gmail_drive", "gmail and google drive"),
+    ("q_hampton_kw", "payment hampton global"),
+    ("q_single", "payment"),
+    ("q_no_match", "quantum flux capacitor"),
+]
+
+
+@query(
+    "q_phrase_search",
+    search.sql_phrase_search_topk(
+        f"(SELECT doc_id, {SQL_DERIVED_TEXT} AS text FROM documents)",
+        PHRASE_QUERIES,
+        k=10,
+    ),
+)
+def q_phrase_search(spark, sf_dir):
+    """exact phrase top-10 per query (ES match_phrase analog — the
+    other half of the reference's search surface next to q_bm25_search's
+    ranked retrieval). Spark-first shape: for a small phrase set the
+    winning plan is a codegen'd per-document token-window array scan
+    against the broadcast phrase dimension — zero shuffles before the
+    bounded top-k window, no positional-postings self-join
+    (operators/search.py phrase_search_topk). All-integer output."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", derived_text().alias("text")
+    )
+    return search.phrase_search_topk(spark, d, PHRASE_QUERIES, k=10)
 
 
 @query(

@@ -152,3 +152,88 @@ class TestResize:
             sy = [(yo * h) // 2 for yo in (0, 1)]
             exp_r = np.mean([(d_id + 3 * x + 5 * y) % 256 for x in sx for y in sy])
             assert r["mean_r"] == exp_r
+
+
+class TestPhraseSearch:
+    """Round-4: exact phrase matching (match_phrase analog) — window
+    scan semantics on inputs where occurrence counts are countable by
+    eye."""
+
+    def _run(self, spark, docs, phrases, k=10):
+        from spamscope_spark.operators.search import phrase_search_topk
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return phrase_search_topk(spark, df, phrases, k=k).collect()
+
+    def test_counts_and_overlap(self, spark):
+        docs = [
+            (0, "a b a b a b"),      # "a b" x3, overlapping windows scanned
+            (1, "a b c"),            # "a b" x1
+            (2, "b a"),              # 0
+            (3, "a a a"),            # "a a" x2 (overlap counted per window)
+        ]
+        out = self._run(spark, docs, [("p_ab", "a b"), ("p_aa", "a a")])
+        got = {(r["query_id"], r["doc_id"]): r["n_occurrences"] for r in out}
+        assert got == {("p_ab", 0): 3, ("p_ab", 1): 1, ("p_aa", 3): 2}
+
+    def test_case_fold_and_single_term(self, spark):
+        docs = [(0, "Pay NOW pay now"), (1, "paynow")]
+        out = self._run(spark, docs, [("p1", "pay now"), ("p2", "pay")])
+        got = {(r["query_id"], r["doc_id"]): r["n_occurrences"] for r in out}
+        assert got == {("p1", 0): 2, ("p2", 0): 2}  # doc 1: no token match
+
+    def test_phrase_longer_than_doc_and_no_match(self, spark):
+        docs = [(0, "x y"), (1, "")]
+        out = self._run(spark, docs, [("p", "x y z")])
+        assert out == []
+
+    def test_rank_tiebreak_and_k(self, spark):
+        docs = [(i, "hit me hit me") for i in range(7)]
+        out = self._run(spark, docs, [("p", "hit me")], k=3)
+        assert [(r["doc_id"], r["rank"]) for r in
+                sorted(out, key=lambda r: r["rank"])] == [(0, 1), (1, 2), (2, 3)]
+
+
+class TestContainmentDecon:
+    """Round-4: n-gram containment decontamination — the asymmetric
+    leak statistic |A∩B| / |B|."""
+
+    def _run(self, spark, train, bench, n=2, threshold=0.8):
+        from spamscope_spark.operators.corpus import containment_decontaminate
+
+        t = spark.createDataFrame(train, "doc_id long, text string")
+        b = spark.createDataFrame(bench, "bench_id long, text string")
+        return containment_decontaminate(t, b, n=n, threshold=threshold).collect()
+
+    def test_substring_item_fully_contained(self, spark):
+        # bench item = a 4-word span of the train doc → containment 1.0
+        train = [(0, "alpha beta gamma delta epsilon zeta eta theta")]
+        bench = [(100, "gamma delta epsilon zeta")]
+        rows = self._run(spark, train, bench)
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["doc_id"], r["bench_id"]) == (0, 100)
+        assert r["n_shared"] == r["n_bench"] == 3  # 4 words → 3 bigrams
+        assert r["containment"] == 1.0
+
+    def test_jaccard_dilution_does_not_hide_leak(self, spark):
+        # long train doc: Jaccard(train, bench) is tiny, containment is 1.0
+        filler = " ".join(f"w{i}" for i in range(200))
+        train = [(0, filler + " needle one two three end")]
+        bench = [(5, "needle one two three")]
+        rows = self._run(spark, train, bench)
+        assert rows and rows[0]["containment"] == 1.0
+
+    def test_threshold_excludes_partial_overlap(self, spark):
+        train = [(0, "a b c x y z")]
+        bench = [(9, "a b c q")]  # bigrams: ab bc cq → 2/3 shared
+        assert self._run(spark, train, bench, threshold=0.8) == []
+        rows = self._run(spark, train, bench, threshold=0.6)
+        assert rows and rows[0]["n_shared"] == 2 and rows[0]["n_bench"] == 3
+
+    def test_distinct_grams_not_multiplicity(self, spark):
+        # repeated gram in train counts once (distinct-set containment)
+        train = [(0, "p q p q p q")]
+        bench = [(1, "p q")]
+        rows = self._run(spark, train, bench)
+        assert rows[0]["n_shared"] == 1 and rows[0]["n_bench"] == 1
