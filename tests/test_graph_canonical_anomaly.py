@@ -334,3 +334,52 @@ class TestStatsOperators:
         out = chi2_independence(df, F.col("r0"), F.col("c0")).collect()
         # only populated cells appear (zeros don't exist as rows)
         assert sum(r["contrib"] for r in out) == 10.0  # 5 + 5 from the 2 cells
+
+
+class TestSilenceBoundedState:
+    """Round-4: the silence monitor's per-epoch cost must be bounded by
+    |keys| + new windows — NOT stream lifetime. The state snapshot
+    carries exactly one row per key, at every epoch."""
+
+    KEY, BUCKET_S = "role", 3600
+
+    def test_state_rows_equal_keys_across_epochs(self, spark, tmp_path):
+        import glob as globmod
+
+        from spamscope_spark.streaming.pipeline import (
+            PipelineConfig,
+            start_silence_query,
+        )
+
+        path = str(tmp_path / "turns_in")
+        t = generate_turns(spark, n_convs=12, turns_per_conv=24)
+        # many input files + maxFilesPerTrigger → multiple epochs
+        t.repartition(8).write.parquet(path)
+        n_keys = t.select(self.KEY).distinct().count()
+        cfg = PipelineConfig(
+            input_path=path,
+            work_dir=str(tmp_path / "work"),
+            max_files_per_trigger=2,
+        )
+        q, sink = start_silence_query(
+            spark, cfg, key=self.KEY, bucket_s=self.BUCKET_S
+        )
+        q.awaitTermination(300)
+
+        state_dir = cfg.output("silence_state")
+        epoch_dirs = sorted(globmod.glob(f"{state_dir}/data/epoch=*"))
+        assert len(epoch_dirs) >= 3, "expected multiple epochs"
+        for d in epoch_dirs:
+            rows = spark.read.parquet(d).collect()
+            # bounded: ≤ one row per key, never the emitted-row history
+            assert len(rows) <= n_keys, (d, len(rows))
+            assert len({r[self.KEY] for r in rows}) == len(rows)
+        # final state covers every key seen
+        last = spark.read.parquet(epoch_dirs[-1])
+        assert last.count() == n_keys
+        # and per-key last_emitted equals the global max emitted window
+        out_max = (
+            sink.read_merged(spark).agg(F.max("window_start")).collect()[0][0]
+        )
+        le = {r["last_emitted"] for r in last.collect()}
+        assert le == {out_max}

@@ -58,6 +58,8 @@ AUDITED = {
     "q_profile": "single-pass profile: one scan, one agg (exact multi-distinct = expand shape), per-column rows exploded from the 1-row wide result",
     "q_crosstab_chi2": "contingency: one groupBy to the cell table; margins window over cell-sized rows; grand total joins as broadcast 1-row agg",
     "q_event_paths": "ordered path agg: struct-sort after collection (deterministic), path counts over |keys| rows, top-k via TakeOrderedAndProject (no global sort)",
+    "q_phrase_search": "match_phrase as codegen'd array scan: tokenize in the scan projection, BroadcastNestedLoopJoin against the tiny phrase dim, zero exchanges before the bounded per-query top-k window",
+    "q_containment_decon": "containment decon: distinct-shingle explode joins the BROADCAST benchmark side map-side; pair agg bounded by matches; bench-size join is broadcast too — corpus never self-joins, never shuffles raw text",
 }
 
 
