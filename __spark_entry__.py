@@ -89,12 +89,18 @@ _GRADE_FIRST = [
     # least-recently graded greens: r1-only rows first
     "q_minhash_signatures", "q_quality_filter", "q_distinct_count",
     # new in round 4 (no driver row yet): exact phrase search
-    # (match_phrase analog) and n-gram containment decontamination
-    "q_phrase_search", "q_containment_decon",
+    # (match_phrase analog), n-gram containment decontamination, and
+    # the deterministic train/val/test split audit
+    "q_phrase_search", "q_containment_decon", "q_dataset_split",
+    # output schema changed in round 4 (lm_quality -> lm_quality_e6:
+    # round(x,6) proved engine-ambiguous at half boundaries — see
+    # functions/exact.py — so the score is now micro-unit BIGINT);
+    # its r3-green hash is stale and it must re-grade
+    "q_hash_classifier",
     # ...then greens whose last driver row is r2
     "q_pricing_summary", "q_top_customers", "q_region_rollup",
     "q_order_rank_window", "q_running_total", "q_semi_join",
-    "q_anti_join", "q_set_ops", "q_json_extract", "q_topk_events",
+    "q_anti_join", "q_set_ops",
 ]
 # Tail: every remaining query is hash-green in CORRECTNESS_r02 or _r03
 # and re-verified locally this session via BOTH mirrors

@@ -193,12 +193,21 @@ def hashed_linear_scores(
         .groupBy(id_col)
         .agg(F.sum("w_int").alias("w_sum"), F.count(F.lit(1)).alias("n_tok"))
     )
-    score = F.round(
-        F.col("w_sum").cast("double") / (F.lit(float(_W_SCALE)) * F.col("n_tok")), 6
+    score = F.col("w_sum").cast("double") / (
+        F.lit(float(_W_SCALE)) * F.col("n_tok")
     )
+    # Micro-unit BIGINT output, NOT round(x, 6): Spark's round goes
+    # through Double.toString's shortest decimal repr while DuckDB
+    # rounds the exact binary value, so a score whose shortest repr
+    # lands exactly on the half boundary (e.g. 0.0654375 whose true
+    # binary value is 0.06543749999...) rounds UP on Spark and DOWN on
+    # DuckDB. floor(x * 1e6) is pure IEEE arithmetic on the identical
+    # double (exact integer ratio) — no boundary ambiguity on any
+    # engine. Same reasoning keeps `keep` a raw comparison.
+    score_e6 = F.floor(score * F.lit(1e6)).cast("long")
     return agg.select(
         id_col,
-        score.alias("lm_quality"),
+        score_e6.alias("lm_quality_e6"),
         (score > F.lit(threshold)).alias("keep"),
     )
 
@@ -225,8 +234,9 @@ def sql_hashed_linear_scores(
         GROUP BY {id_col}
     )
     SELECT {id_col},
-           round(CAST(w_sum AS DOUBLE) / ({float(_W_SCALE)} * n_tok), 6) AS lm_quality,
-           (round(CAST(w_sum AS DOUBLE) / ({float(_W_SCALE)} * n_tok), 6)
+           CAST(floor(CAST(w_sum AS DOUBLE) / ({float(_W_SCALE)} * n_tok)
+                * 1000000) AS BIGINT) AS lm_quality_e6,
+           (CAST(w_sum AS DOUBLE) / ({float(_W_SCALE)} * n_tok)
             > {threshold}) AS keep
     FROM agg
     """

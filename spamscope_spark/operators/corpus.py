@@ -34,6 +34,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from ..functions import exact
+
 # ---------------------------------------------------------------------------
 # connected components: pairs -> clusters
 # ---------------------------------------------------------------------------
@@ -312,10 +314,12 @@ def repetition_stats(
     )
 
     def dup_frac(arr: Column) -> Column:
+        # exact rational rounding: round(double, 6) is engine-ambiguous
+        # at half boundaries (functions/exact.py)
         return F.when(
             F.size(arr) > 0,
-            F.round(
-                1 - F.size(F.array_distinct(arr)) / F.size(arr).cast("double"), 6
+            exact.round6_ratio(
+                F.size(arr) - F.size(F.array_distinct(arr)), F.size(arr)
             ),
         ).otherwise(F.lit(None).cast("double"))
 
@@ -351,7 +355,7 @@ def repetition_stats(
         F.when(F.size(words) >= n, dup_frac(grams)).alias("dup_ngram_frac"),
         F.when(
             has_words,
-            F.round(top_count / F.size(words).cast("double"), 6),
+            exact.round6_ratio(top_count, F.size(words)),
         ).alias("top_word_frac"),
         # null (not 0) for word-less docs — the left-join form's
         # no-matching-row semantics, kept for oracle parity
@@ -375,8 +379,11 @@ def sql_repetition_stats(
 
     def dup(arr: str) -> str:
         return (
-            f"CASE WHEN len({arr}) > 0 THEN round(1 - len(list_distinct({arr}))"
-            f" / CAST(len({arr}) AS DOUBLE), 6) END"
+            f"CASE WHEN len({arr}) > 0 THEN "
+            + exact.sql_round6_ratio(
+                f"len({arr}) - len(list_distinct({arr}))", f"len({arr})"
+            )
+            + " END"
         )
 
     return f"""
@@ -391,7 +398,7 @@ def sql_repetition_stats(
         FROM (SELECT {id_col}, unnest(w) AS word FROM narrow)
         GROUP BY {id_col}, word
     ), top AS (
-        SELECT {id_col}, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
+        SELECT {id_col}, {exact.sql_round6_ratio("MAX(c)", "SUM(c)")}
                    AS top_word_frac,
                CAST(SUM(c) AS BIGINT) AS n_words
         FROM cnt GROUP BY {id_col}
@@ -1114,6 +1121,119 @@ def sql_stratified_sample_pred(
     return f"{h} < {thr}"
 
 
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs to be REPRODUCIBLE and LEAK-FREE: the
+    split is a pure function of (salt, id), so it is stable across
+    engines, partitionings, reruns, and incremental corpus growth
+    (a doc added tomorrow cannot move today's docs between splits,
+    which rand()-based splits violate). Salting the hash decouples the
+    split from every other md5-of-id decision in the pipeline
+    (sampling thresholds, shard assignment) — unsalted reuse would
+    correlate "sampled" with "train". Pure column expression.
+
+    Returns df + (split_bucket INT in [0,100), split STRING)."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split_bucket", bucket).withColumn("split", split)
+
+
+def split_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "split:v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Per-stratum split audit: counts per (stratum, split) pivoted to
+    one row per stratum, plus the disjoint-and-exhaustive check
+    (n_train + n_val + n_test == n_total — the property that catches a
+    bucket-boundary bug or a NULL-id leak). One groupBy over the
+    corpus; output is |strata| rows."""
+    d = dataset_split(df, id_col, salt, train_pct, val_pct)
+    return (
+        d.groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+            F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+            F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+        )
+        .select(
+            stratum_col,
+            "n_total",
+            "n_train",
+            "n_val",
+            "n_test",
+            (
+                F.col("n_train") + F.col("n_val") + F.col("n_test")
+                == F.col("n_total")
+            ).alias("all_assigned"),
+            # exact ratio of two BIGINTs — one IEEE division,
+            # bit-identical across engines
+            (F.col("n_train") / F.col("n_total").cast("double")).alias(
+                "train_frac"
+            ),
+        )
+    )
+
+
+def sql_split_audit(
+    table: str,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "split:v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> str:
+    bucket = (
+        f"CAST('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)),"
+        f" 1, 4) AS INTEGER) % 100"
+    )
+    return f"""
+    WITH d AS (
+        SELECT {stratum_col},
+            CASE WHEN {bucket} < {train_pct} THEN 'train'
+                 WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+                 ELSE 'test' END AS split
+        FROM {table}
+    ), g AS (
+        SELECT {stratum_col},
+            CAST(COUNT(*) AS BIGINT) AS n_total,
+            CAST(COUNT(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+            CAST(COUNT(*) FILTER (WHERE split = 'val') AS BIGINT) AS n_val,
+            CAST(COUNT(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test
+        FROM d GROUP BY {stratum_col}
+    )
+    SELECT {stratum_col}, n_total, n_train, n_val, n_test,
+        (n_train + n_val + n_test = n_total) AS all_assigned,
+        n_train / CAST(n_total AS DOUBLE) AS train_frac
+    FROM g
+    """
+
+
 # ---------------------------------------------------------------------------
 # paragraph-level (intra-document span) dedup — boilerplate detection
 # ---------------------------------------------------------------------------
@@ -1175,10 +1295,9 @@ def paragraph_dedup(
         .agg(
             F.count(F.lit(1)).alias("n_paras"),
             F.sum((F.col("para_df") >= min_df).cast("long")).alias("n_dup_paras"),
-            F.round(
-                F.sum((F.col("para_df") >= min_df).cast("long"))
-                / F.count(F.lit(1)).cast("double"),
-                6,
+            exact.round6_ratio(
+                F.sum((F.col("para_df") >= min_df).cast("long")),
+                F.count(F.lit(1)),
             ).alias("dup_para_frac"),
         )
     )
@@ -1211,8 +1330,9 @@ def sql_paragraph_dedup(
            CAST(COUNT(*) AS BIGINT) AS n_paras,
            CAST(SUM(CASE WHEN d.para_df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dup_paras,
-           round(SUM(CASE WHEN d.para_df >= {min_df} THEN 1 ELSE 0 END)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_para_frac
+           {exact.sql_round6_ratio(
+               f"SUM(CASE WHEN d.para_df >= {min_df} THEN 1 ELSE 0 END)",
+               "COUNT(*)")} AS dup_para_frac
     FROM paras p JOIN doc_freq d USING (para_h)
     GROUP BY p.{id_col}
     """
@@ -1303,7 +1423,7 @@ def heavy_hitters(
         .select(
             "token",
             "cnt",
-            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            exact.round6_ratio(F.col("cnt"), F.col("_total")).alias("share"),
         )
     )
 
@@ -1318,7 +1438,7 @@ def sql_heavy_hitters(k_inv: int = 50) -> str:
     WITH toks AS ({toks}),
     tot AS (SELECT COUNT(*) AS n FROM toks)
     SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
-           round(COUNT(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+           {exact.sql_round6_ratio("COUNT(*)", "(SELECT n FROM tot)")} AS share
     FROM toks GROUP BY token
     HAVING COUNT(*) * {k_inv} >= (SELECT n FROM tot)
     """

@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..functions import exact
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
@@ -137,11 +139,15 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    ).cast("double")
+    # exact rational rounding — round(double, 6) is engine-ambiguous
+    # at half boundaries, and here the rounded value also gates the
+    # threshold filter, so a boundary tie could flip row MEMBERSHIP
+    # (functions/exact.py)
+    jac = exact.round6_ratio(
+        F.col("inter"), F.col("na") + F.col("nb") - F.col("inter")
+    )
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -175,9 +181,9 @@ def sql_ngram_jaccard_pairs(
         GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b,
-           round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+           {exact.sql_round6_ratio("inter", "na + nb - inter")} AS jaccard
     FROM pairs
-    WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= {threshold}
+    WHERE {exact.sql_round6_ratio("inter", "na + nb - inter")} >= {threshold}
     """
 
 
@@ -649,7 +655,7 @@ def substring_dup_stats(
         .alias("n_shared"),
         F.when(
             F.col("n_windows") > 0,
-            F.round(F.col("n_shared_raw") / F.col("n_windows").cast("double"), 6),
+            exact.round6_ratio(F.col("n_shared_raw"), F.col("n_windows")),
         ).alias("dup_substring_frac"),
     )
 
@@ -687,7 +693,7 @@ def sql_substring_dup_stats(
         CASE WHEN len(b.wins) > 0
              THEN CAST(COALESCE(d.n_shared, 0) AS BIGINT) END AS n_shared,
         CASE WHEN len(b.wins) > 0
-             THEN round(COALESCE(d.n_shared, 0) / CAST(len(b.wins) AS DOUBLE), 6)
+             THEN {exact.sql_round6_ratio("COALESCE(d.n_shared, 0)", "len(b.wins)")}
         END AS dup_substring_frac
     FROM base b LEFT JOIN dup_pos d USING (doc_id)
     """

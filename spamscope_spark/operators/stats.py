@@ -24,6 +24,8 @@ Scale shapes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ..functions import exact
 from pyspark.sql import Column, DataFrame, Window
 
 
@@ -118,7 +120,13 @@ def chi2_independence(
         "r",
         "c",
         "n",
-        F.round(expected, 6).alias("expected"),
+        # expected is an exact integer ratio rt*ct/tot — round the
+        # rational (functions/exact.py); contrib stays a float-chain
+        # round: its reduced denominator rt*ct*tot essentially never
+        # divides 2e6, and the exact-integer form would overflow BIGINT
+        exact.round6_ratio(
+            F.col("_rt") * F.col("_ct"), F.col("_tot")
+        ).alias("expected"),
         F.round(contrib, 6).alias("contrib"),
     )
 
@@ -140,7 +148,7 @@ def sql_chi2_independence(
         FROM cells
     )
     SELECT r, c, n,
-        round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        {exact.sql_round6_ratio("rt * ct", "tot")}
             AS expected,
         round((n - CAST(rt AS DOUBLE) * ct / tot)
               * (n - CAST(rt AS DOUBLE) * ct / tot)

@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..datagen import SUBJECT_KEYS, TARGET_KEYS, WHITELIST_DOMAINS, generate_turns
-from ..functions import textstats
+from ..functions import exact, textstats
 from ..functions import urls as urlfns
 from ..functions.keywords import matched_targets, search_words, sql_search_words
 from ..functions.urls import RE_URL, extract_url_strings
@@ -2126,7 +2126,7 @@ def q_scd2_history(spark, sf_dir):
 
 @query(
     "q_markov_transitions",
-    """
+    f"""
     WITH seq AS (
         SELECT user_id, event_type AS cur,
             lead(event_type) OVER (PARTITION BY user_id
@@ -2137,7 +2137,7 @@ def q_scd2_history(spark, sf_dir):
         FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
     )
     SELECT cur, nxt, n,
-        round(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+        {exact.sql_round6_ratio("n", "SUM(n) OVER (PARTITION BY cur)")} AS p
     FROM pairs
     """,
 )
@@ -2165,13 +2165,15 @@ def q_markov_transitions(spark, sf_dir):
         "cur",
         "nxt",
         "n",
-        F.round(F.col("n") / F.sum("n").over(row).cast("double"), 6).alias("p"),
+        # exact rational rounding — round(double, 6) is engine-
+        # ambiguous at half boundaries (functions/exact.py)
+        exact.round6_ratio(F.col("n"), F.sum("n").over(row)).alias("p"),
     )
 
 
 @query(
     "q_cohort_retention",
-    """
+    f"""
     WITH cohorts AS (
         SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events
         GROUP BY user_id
@@ -2183,7 +2185,7 @@ def q_markov_transitions(spark, sf_dir):
     SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
         CAST(day_offset AS INTEGER) AS day_offset,
         CAST(COUNT(*) AS BIGINT) AS n_active,
-        round(COUNT(*) / CAST(MAX(cohort_size) AS DOUBLE), 6) AS retention
+        {exact.sql_round6_ratio("COUNT(*)", "MAX(cohort_size)")} AS retention
     FROM (
         SELECT a.*, COUNT(*) FILTER (WHERE day_offset = 0)
             OVER (PARTITION BY cohort_day) AS cohort_size
@@ -2224,13 +2226,13 @@ def q_cohort_retention(spark, sf_dir):
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.col("day_offset").cast("int").alias("day_offset"),
         "n_active",
-        F.round(F.col("n_active") / size.cast("double"), 6).alias("retention"),
+        exact.round6_ratio(F.col("n_active"), size).alias("retention"),
     )
 
 
 @query(
     "q_funnel",
-    """
+    f"""
     WITH steps AS (
         SELECT user_id,
             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
@@ -2248,9 +2250,9 @@ def q_cohort_retention(spark, sf_dir):
         CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS step1_view,
         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS step2_click,
         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase,
-        round(SUM(CASE WHEN s3 THEN 1 ELSE 0 END)
-              / CAST(NULLIF(SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 0) AS DOUBLE),
-              6) AS conversion
+        {exact.sql_round6_ratio(
+            "SUM(CASE WHEN s3 THEN 1 ELSE 0 END)",
+            "NULLIF(SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 0)")} AS conversion
     FROM flags
     """,
 )
@@ -2277,10 +2279,9 @@ def q_funnel(spark, sf_dir):
         F.sum(F.col("s1").cast("long")).alias("step1_view"),
         F.sum(F.col("s2").cast("long")).alias("step2_click"),
         F.sum(F.col("s3").cast("long")).alias("step3_purchase"),
-        F.round(
-            F.sum(F.col("s3").cast("long"))
-            / F.nullif(F.sum(F.col("s1").cast("long")), F.lit(0)).cast("double"),
-            6,
+        exact.round6_ratio(
+            F.sum(F.col("s3").cast("long")),
+            F.nullif(F.sum(F.col("s1").cast("long")), F.lit(0)),
         ).alias("conversion"),
     )
 
@@ -2938,6 +2939,20 @@ def q_bloom_decontaminate(spark, sf_dir):
         d.where(F.col("doc_id") % 97 == 0),
         n=3,
     )
+
+
+@query(
+    "q_dataset_split",
+    corpus.sql_split_audit("documents"),
+)
+def q_dataset_split(spark, sf_dir):
+    """deterministic train/val/test split audit: salted-hash bucket
+    assignment (stable across engines, reruns, and corpus growth —
+    rand() splits are none of these) with per-language counts and the
+    disjoint-and-exhaustive verdict. One groupBy; |strata| output rows
+    (operators/corpus.py dataset_split/split_audit)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.split_audit(d)
 
 
 _STRATA_RATES = {"en": 0.6, "de": 0.25, "fr": 1.0}

@@ -1303,8 +1303,9 @@ class TestHashClassifier:
     """hashed_linear_scores — hashing-trick linear quality model with a
     broadcast weight table (functions/textstats.py)."""
 
-    def _py_score(self, text: str) -> float:
+    def _py_score(self, text: str):
         import hashlib
+        import math
         import re
 
         toks = re.split(r"\s+", text.strip().lower()) or [""]
@@ -1315,7 +1316,10 @@ class TestHashClassifier:
             b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % textstats.HASH_DIM
             h = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:6], 16)
             s += h % 2001 - 1000
-        return round(s / (1000.0 * len(toks)), 6)
+        # micro-unit floor — round(x, 6) is ambiguous exactly at the
+        # half boundary (engines disagree; see hashed_linear_scores)
+        x = s / (1000.0 * len(toks))
+        return x, math.floor(x * 1e6)
 
     def test_matches_python_reference(self, spark):
         rows = [
@@ -1331,9 +1335,9 @@ class TestHashClassifier:
             for r in textstats.hashed_linear_scores(df, w, "doc_id").collect()
         }
         for doc_id, text in rows:
-            expect = self._py_score(text or "")
-            assert out[doc_id]["lm_quality"] == expect, doc_id
-            assert out[doc_id]["keep"] == (expect > 0)
+            x, expect_e6 = self._py_score(text or "")
+            assert out[doc_id]["lm_quality_e6"] == expect_e6, doc_id
+            assert out[doc_id]["keep"] == (x > 0)
 
     def test_weight_table_shape(self, spark):
         w = textstats.hash_feature_weights(spark).collect()
