@@ -33,18 +33,44 @@ from pyspark.sql import Column
 _M = 1_000_000
 
 
-def round6_ratio(p: Column, q: Column) -> Column:
-    """round(p/q, 6) as DOUBLE, computed exactly from the rational.
-    p >= 0, q > 0 integers (cast happens here); NULL in, NULL out."""
+def round_ratio(p: Column, q: Column, digits: int = 6) -> Column:
+    """round(p/q, digits) as DOUBLE, computed exactly from the
+    rational. p >= 0, q > 0 integers (cast happens here); NULL in,
+    NULL out."""
+    m = 10 ** digits
     p64 = p.cast("bigint")
     q64 = q.cast("bigint")
-    scaled = F.floor((2 * p64 * _M + q64) / (2 * q64)).cast("bigint")
-    return scaled.cast("double") / F.lit(float(_M))
+    scaled = F.floor((2 * p64 * m + q64) / (2 * q64)).cast("bigint")
+    return scaled.cast("double") / F.lit(float(m))
+
+
+def sql_round_ratio(p: str, q: str, digits: int = 6) -> str:
+    """DuckDB twin — integer // is an exact floor."""
+    m = 10 ** digits
+    return (
+        f"(CAST((2 * CAST({p} AS BIGINT) * {m} + CAST({q} AS BIGINT))"
+        f" // (2 * CAST({q} AS BIGINT)) AS DOUBLE) / {m})"
+    )
+
+
+def round6_ratio(p: Column, q: Column) -> Column:
+    return round_ratio(p, q, 6)
 
 
 def sql_round6_ratio(p: str, q: str) -> str:
-    """DuckDB twin — integer // is an exact floor."""
-    return (
-        f"(CAST((2 * CAST({p} AS BIGINT) * {_M} + CAST({q} AS BIGINT))"
-        f" // (2 * CAST({q} AS BIGINT)) AS DOUBLE) / {_M})"
-    )
+    return sql_round_ratio(p, q, 6)
+
+
+def centi_sum(value: Column) -> Column:
+    """Exact integer sum of an exactly-2-decimal DOUBLE column in
+    centi-units — the order-independent form of SUM(value): float
+    summation order differs between engines (and between runs of the
+    same engine), which round() then amplifies into a visible hash
+    mismatch exactly at half boundaries. round(value*100) recovers the
+    exact integer on both engines (the product lands within ~1e-10 of
+    it, never near .5), and integer SUM is commutative-exact."""
+    return F.sum(F.round(value * 100).cast("bigint"))
+
+
+def sql_centi_sum(value_expr: str) -> str:
+    return f"SUM(CAST(round({value_expr} * 100) AS BIGINT))"

@@ -22,6 +22,8 @@ over grid-sized (not data-sized) rows.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ..functions import exact
 from pyspark.sql import DataFrame, Window
 
 
@@ -37,7 +39,13 @@ def gap_fill_hourly(
         type_col, F.date_trunc("hour", ts_col).alias("hour")
     ).agg(
         F.count("*").alias("_n"),
-        F.round(F.avg(value_col), 6).alias("_avg"),
+        # mean from exact centi-unit integers: avg() of doubles is
+        # summation-order-dependent, and round() turns that 1-ulp drift
+        # into a hash mismatch at half boundaries (functions/exact.py;
+        # first seen on this query at sf0.1)
+        exact.round6_ratio(
+            exact.centi_sum(F.col(value_col)), F.count("*") * 100
+        ).alias("_avg"),
     )
     bounds = events.agg(
         F.date_trunc("hour", F.min(ts_col)).alias("h0"),
@@ -74,7 +82,9 @@ def sql_gap_fill_hourly(
     return f"""
     WITH hourly AS (
         SELECT {type_col}, date_trunc('hour', {ts_col}) AS hour,
-               count(*) AS n, round(avg({value_col}), 6) AS avg_v
+               count(*) AS n,
+               {exact.sql_round6_ratio(exact.sql_centi_sum(value_col),
+                                       "100 * COUNT(*)")} AS avg_v
         FROM {table} GROUP BY 1, 2
     ), b AS (
         SELECT date_trunc('hour', min({ts_col})) AS h0,

@@ -155,13 +155,15 @@ SQL_DUP_TEXT = (
 
 @query(
     "q_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
         round(SUM(l_extendedprice), 2) AS sum_base_price,
         round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        round(AVG(l_quantity), 4) AS avg_qty,
-        round(AVG(l_extendedprice), 2) AS avg_price,
+        {exact.sql_round_ratio(exact.sql_centi_sum("l_quantity"),
+                               "100 * COUNT(*)", 4)} AS avg_qty,
+        {exact.sql_round_ratio(exact.sql_centi_sum("l_extendedprice"),
+                               "100 * COUNT(*)", 2)} AS avg_price,
         CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -178,8 +180,17 @@ def q_pricing_summary(spark, sf_dir):
             F.sum("l_quantity").cast("double").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            # means from exact centi-unit integers: avg() of doubles
+            # is summation-order-dependent and round() is ambiguous at
+            # half boundaries (functions/exact.py)
+            exact.round_ratio(
+                exact.centi_sum(F.col("l_quantity")),
+                F.count(F.lit(1)) * 100, 4,
+            ).alias("avg_qty"),
+            exact.round_ratio(
+                exact.centi_sum(F.col("l_extendedprice")),
+                F.count(F.lit(1)) * 100, 2,
+            ).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
