@@ -37,6 +37,18 @@ PARITY_QUERIES = [
     "q_date_funcs",        # DATE output (now ISO strings) + float sums
     "q_cohort_retention",  # DATE output (now ISO strings) + ratios
     "q_stats_agg",         # avg/stddev float aggregates
+    # half-boundary rounding fixes (functions/exact.py): each of these
+    # rounds an integer ratio / centi-exact mean that round(double, 6)
+    # made engine-ambiguous
+    "q_hash_classifier",   # the sf0.001 divergence that exposed it
+    "q_gap_fill",          # the sf0.1 divergence (summation order)
+    "q_pricing_summary",   # avg_qty / avg_price, centi-exact means
+    "q_markov_transitions",
+    "q_funnel",
+    "q_ngram_jaccard",     # rounded value gates row membership
+    "q_dataset_split",     # new r4: salted split audit
+    "q_phrase_search",     # new r4: all-integer phrase counts
+    "q_containment_decon",  # new r4: containment ratio
 ]
 
 TABLES = [
