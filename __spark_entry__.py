@@ -89,18 +89,22 @@ _GRADE_FIRST = [
     # least-recently graded greens: r1-only rows first
     "q_minhash_signatures", "q_quality_filter", "q_distinct_count",
     # new in round 4 (no driver row yet): exact phrase search
-    # (match_phrase analog), n-gram containment decontamination, and
-    # the deterministic train/val/test split audit
+    # (match_phrase analog), n-gram containment decontamination, the
+    # deterministic train/val/test split audit, and PMI collocations
     "q_phrase_search", "q_containment_decon", "q_dataset_split",
+    "q_pmi_pairs",
     # output schema changed in round 4 (lm_quality -> lm_quality_e6:
     # round(x,6) proved engine-ambiguous at half boundaries — see
     # functions/exact.py — so the score is now micro-unit BIGINT);
     # its r3-green hash is stale and it must re-grade
     "q_hash_classifier",
+    # output changed in round 4: avg_qty/avg_price now centi-exact
+    # (functions/exact.py) — stale green, must re-grade
+    "q_pricing_summary",
     # ...then greens whose last driver row is r2
-    "q_pricing_summary", "q_top_customers", "q_region_rollup",
+    "q_top_customers", "q_region_rollup",
     "q_order_rank_window", "q_running_total", "q_semi_join",
-    "q_anti_join", "q_set_ops",
+    "q_anti_join",
 ]
 # Tail: every remaining query is hash-green in CORRECTNESS_r02 or _r03
 # and re-verified locally this session via BOTH mirrors

@@ -32,7 +32,7 @@ training pipeline runs over the accumulated store.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from ..functions import exact
 
@@ -762,6 +762,128 @@ def sql_containment_decontaminate(
            s.n_shared / CAST(z.n_bench AS DOUBLE) AS containment
     FROM shared s JOIN bsize z USING ({bench_id_col})
     WHERE s.n_shared / CAST(z.n_bench AS DOUBLE) >= {threshold}
+    """
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_vocab: int = 200,
+    min_pair_docs: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k word associations by pointwise mutual information over
+    document-level co-occurrence — the collocation-mining staple
+    (Church & Hanks 1990): PMI(a,b) = ln(n_ab * N / (n_a * n_b)) with
+    document frequencies, restricted to the top-`top_vocab` vocabulary.
+
+    Shape (100 TB): the naive form explodes O(doc_len^2) pairs per doc
+    — fatal. Bounded here by (1) DISTINCT tokens per doc, (2) a
+    broadcast top-V vocabulary filter applied BEFORE the pair join
+    (per-doc pair fanout is then <= C(V,2) and in practice tiny), and
+    (3) a min-support filter on the pair counts. The pair generation
+    is one equi-self-join on the doc id over the vocab-filtered token
+    table; N travels as a broadcast 1-row aggregate. Ranking is
+    TakeOrdered-bounded, never a global sort. Determinism: all counts
+    are exact integers; PMI is one ln() of an exact integer ratio,
+    computed identically by both engines (same contract as BM25's
+    idf), and the tie-break is (pair) lexicographic."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    dt = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(toks)).alias("tok"),
+    )
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.orderBy(F.col("n_tok").desc(), F.col("tok").asc())
+    vocab = (
+        dfreq.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= top_vocab)
+        .select("tok", "n_tok")
+    )
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs")))
+    dv = dt.join(F.broadcast(vocab.select("tok")), "tok")
+    a = dv.select("doc", F.col("tok").alias("tok_a"))
+    b = dv.select("doc", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_docs)
+    )
+    na = vocab.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    nb = vocab.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "tok_a")
+        .join(F.broadcast(nb), "tok_b")
+        .crossJoin(n_docs)
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+        )
+        .limit(k)
+    )
+
+
+def sql_pmi_pairs(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_vocab: int = 200,
+    min_pair_docs: int = 5,
+    k: int = 50,
+) -> str:
+    toks = (
+        f"list_distinct(list_filter(string_split_regex(trim(lower("
+        f"coalesce({text_col}, ''))), '\\s+'), x -> x <> ''))"
+    )
+    return f"""
+    WITH dt AS (
+        SELECT {id_col} AS doc, unnest({toks}) AS tok FROM {table}
+    ), dfreq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM dt GROUP BY tok
+    ), vocab AS (
+        SELECT tok, n_tok FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY n_tok DESC, tok ASC) AS r
+            FROM dfreq
+        ) WHERE r <= {top_vocab}
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}
+    ), dv AS (
+        SELECT doc, tok FROM dt WHERE tok IN (SELECT tok FROM vocab)
+    ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM dv a JOIN dv b ON a.doc = b.doc AND a.tok < b.tok
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_pair_docs}
+    )
+    SELECT tok_a, tok_b, n_ab,
+        round(ln(CAST(n_ab AS DOUBLE) * nd.n_docs
+                 / (CAST(va.n_tok AS DOUBLE) * vb.n_tok)), 6) AS pmi
+    FROM pairs
+    JOIN vocab va ON va.tok = pairs.tok_a
+    JOIN vocab vb ON vb.tok = pairs.tok_b
+    CROSS JOIN nd
+    ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+    LIMIT {k}
     """
 
 

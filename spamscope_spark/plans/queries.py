@@ -2953,6 +2953,21 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @query(
+    "q_pmi_pairs",
+    corpus.sql_pmi_pairs("documents"),
+)
+def q_pmi_pairs(spark, sf_dir):
+    """top-50 word associations by document-level PMI (collocation
+    mining, Church & Hanks 1990) — the corpus-analysis complement to
+    q_tfidf's term weighting. Pair explosion bounded by distinct-per-
+    doc + a broadcast top-200 vocabulary filter applied BEFORE the
+    self-join + min-support; never O(doc_len^2)
+    (operators/corpus.py pmi_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.pmi_pairs(d)
+
+
+@query(
     "q_dataset_split",
     corpus.sql_split_audit("documents"),
 )

@@ -1743,3 +1743,46 @@ class TestFunnelAndCohort:
         assert out[("2026-01-02", 0)] == (1, 1.0)
         assert out[("2026-01-02", 1)] == (1, 1.0)
         assert len(out) == 4  # same-day repeat visits dedup to one row
+
+
+class TestPmiPairs:
+    """Round-4: PMI collocation mining — hand-computable fixture."""
+
+    def test_pmi_values_and_support(self, spark):
+        import math
+
+        from spamscope_spark.operators.corpus import pmi_pairs
+
+        # 10 docs: "a b" co-occur in 6, "a c" in 2, "d" alone in 2
+        rows = (
+            [(i, "a b") for i in range(6)]
+            + [(i + 6, "a c") for i in range(2)]
+            + [(i + 8, "d") for i in range(2)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pmi_pairs(df, top_vocab=10, min_pair_docs=2, k=10).collect()
+        got = {(r["tok_a"], r["tok_b"]): (r["n_ab"], r["pmi"]) for r in out}
+        # n(a)=8, n(b)=6, n(c)=2, N=10
+        assert got[("a", "b")][0] == 6
+        assert got[("a", "b")][1] == round(math.log(6 * 10 / (8 * 6)), 6)
+        assert got[("a", "c")] == (2, round(math.log(2 * 10 / (8 * 2)), 6))
+        assert ("a", "d") not in got  # never co-occur
+
+    def test_vocab_cap_prunes_pairs(self, spark):
+        from spamscope_spark.operators.corpus import pmi_pairs
+
+        # rare tokens outside top-2 vocabulary produce no pairs
+        rows = [(i, "x y rare%d" % i) for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pmi_pairs(df, top_vocab=2, min_pair_docs=2, k=10).collect()
+        assert {(r["tok_a"], r["tok_b"]) for r in out} == {("x", "y")}
+
+    def test_distinct_per_doc_not_multiplicity(self, spark):
+        from spamscope_spark.operators.corpus import pmi_pairs
+
+        rows = [(0, "p q p q p q"), (1, "p q")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pmi_pairs(df, top_vocab=5, min_pair_docs=1, k=5).collect()
+        assert [(r["tok_a"], r["tok_b"], r["n_ab"]) for r in out] == [
+            ("p", "q", 2)
+        ]
