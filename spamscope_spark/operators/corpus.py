@@ -784,11 +784,18 @@ def pmi_pairs(
     (per-doc pair fanout is then <= C(V,2) and in practice tiny), and
     (3) a min-support filter on the pair counts. The pair generation
     is one equi-self-join on the doc id over the vocab-filtered token
-    table; N travels as a broadcast 1-row aggregate. Ranking is
-    TakeOrdered-bounded, never a global sort. Determinism: all counts
-    are exact integers; PMI is one ln() of an exact integer ratio,
-    computed identically by both engines (same contract as BM25's
-    idf), and the tie-break is (pair) lexicographic."""
+    table; N travels as a broadcast 1-row aggregate. Both the vocab
+    cut and the final ranking are orderBy().limit() —
+    TakeOrderedAndProject, a per-partition top-V + driver merge of V
+    rows, never a single-partition global window (row_number over an
+    unpartitioned Window would force the full distinct-token table
+    through ONE task at 100 TB). Determinism: all counts are exact
+    integers; the ranking key is the raw likelihood ratio
+    n_ab*N/(n_a*n_b) — an IEEE expression over exact integers, bit-
+    identical on both engines — and the emitted score is micro-unit
+    BIGINT floor(ln(ratio)*1e6) per the functions/exact.py doctrine
+    (never round(double, n), which is engine-ambiguous at half
+    boundaries); tie-break is (pair) lexicographic."""
     toks = F.filter(
         F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
         lambda x: x != "",
@@ -798,11 +805,11 @@ def pmi_pairs(
         F.explode(F.array_distinct(toks)).alias("tok"),
     )
     dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    w = Window.orderBy(F.col("n_tok").desc(), F.col("tok").asc())
-    vocab = (
-        dfreq.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= top_vocab)
-        .select("tok", "n_tok")
+    # top-V vocabulary via TakeOrderedAndProject, NOT row_number over an
+    # unpartitioned Window (same rows, same (n_tok desc, tok) tie-break;
+    # the window form is a single-partition sort of every distinct token)
+    vocab = dfreq.orderBy(F.col("n_tok").desc(), F.col("tok").asc()).limit(
+        top_vocab
     )
     n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs")))
     dv = dt.join(F.broadcast(vocab.select("tok")), "tok")
@@ -817,29 +824,31 @@ def pmi_pairs(
     )
     na = vocab.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
     nb = vocab.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    # ranking key: the raw likelihood ratio (exact-integer IEEE expr,
+    # bit-identical cross-engine; ln is monotone so the order equals
+    # PMI order). The emitted score is micro-unit BIGINT — ln() is the
+    # only transcendental and floor(x*1e6) has no half-boundary class.
+    ratio = (
+        F.col("n_ab").cast("double")
+        * F.col("n_docs")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
     scored = (
         pairs.join(F.broadcast(na), "tok_a")
         .join(F.broadcast(nb), "tok_b")
         .crossJoin(n_docs)
+    )
+    return (
+        scored.orderBy(
+            ratio.desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+        )
+        .limit(k)
         .select(
             "tok_a",
             "tok_b",
             "n_ab",
-            F.round(
-                F.log(
-                    F.col("n_ab").cast("double")
-                    * F.col("n_docs")
-                    / (F.col("n_a").cast("double") * F.col("n_b"))
-                ),
-                6,
-            ).alias("pmi"),
+            F.floor(F.log(ratio) * F.lit(1e6)).cast("bigint").alias("pmi_e6"),
         )
-    )
-    return (
-        scored.orderBy(
-            F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
-        )
-        .limit(k)
     )
 
 
@@ -861,10 +870,8 @@ def sql_pmi_pairs(
     ), dfreq AS (
         SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM dt GROUP BY tok
     ), vocab AS (
-        SELECT tok, n_tok FROM (
-            SELECT *, ROW_NUMBER() OVER (ORDER BY n_tok DESC, tok ASC) AS r
-            FROM dfreq
-        ) WHERE r <= {top_vocab}
+        SELECT tok, n_tok FROM dfreq
+        ORDER BY n_tok DESC, tok ASC LIMIT {top_vocab}
     ), nd AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}
     ), dv AS (
@@ -876,13 +883,16 @@ def sql_pmi_pairs(
         HAVING COUNT(*) >= {min_pair_docs}
     )
     SELECT tok_a, tok_b, n_ab,
-        round(ln(CAST(n_ab AS DOUBLE) * nd.n_docs
-                 / (CAST(va.n_tok AS DOUBLE) * vb.n_tok)), 6) AS pmi
+        CAST(floor(ln(CAST(n_ab AS DOUBLE) * nd.n_docs
+                      / (CAST(va.n_tok AS DOUBLE) * vb.n_tok)) * 1000000)
+             AS BIGINT) AS pmi_e6
     FROM pairs
     JOIN vocab va ON va.tok = pairs.tok_a
     JOIN vocab vb ON vb.tok = pairs.tok_b
     CROSS JOIN nd
-    ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+    ORDER BY CAST(n_ab AS DOUBLE) * nd.n_docs
+             / (CAST(va.n_tok AS DOUBLE) * vb.n_tok) DESC,
+             tok_a ASC, tok_b ASC
     LIMIT {k}
     """
 

@@ -1761,11 +1761,17 @@ class TestPmiPairs:
         )
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = pmi_pairs(df, top_vocab=10, min_pair_docs=2, k=10).collect()
-        got = {(r["tok_a"], r["tok_b"]): (r["n_ab"], r["pmi"]) for r in out}
-        # n(a)=8, n(b)=6, n(c)=2, N=10
+        got = {(r["tok_a"], r["tok_b"]): (r["n_ab"], r["pmi_e6"]) for r in out}
+        # n(a)=8, n(b)=6, n(c)=2, N=10; score is micro-unit BIGINT
+        # floor(ln(ratio)*1e6) per the exact.py doctrine (round-5)
         assert got[("a", "b")][0] == 6
-        assert got[("a", "b")][1] == round(math.log(6 * 10 / (8 * 6)), 6)
-        assert got[("a", "c")] == (2, round(math.log(2 * 10 / (8 * 2)), 6))
+        assert got[("a", "b")][1] == math.floor(
+            math.log(6 * 10 / (8 * 6)) * 1e6
+        )
+        assert got[("a", "c")] == (
+            2,
+            math.floor(math.log(2 * 10 / (8 * 2)) * 1e6),
+        )
         assert ("a", "d") not in got  # never co-occur
 
     def test_vocab_cap_prunes_pairs(self, spark):
