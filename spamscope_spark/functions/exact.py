@@ -74,3 +74,66 @@ def centi_sum(value: Column) -> Column:
 
 def sql_centi_sum(value_expr: str) -> str:
     return f"SUM(CAST(round({value_expr} * 100) AS BIGINT))"
+
+def fixed_sum(value: Column, digits: int = 2) -> Column:
+    """Exact-decimal SUM as a DOUBLE: sum the column as 10^digits-unit
+    integers (commutative-exact — no summation-order dependence, no
+    accumulated float error at any row count), then one IEEE division
+    of the exact integer back to value units. Replaces
+    round(SUM(x), digits), whose float accumulation error exceeds the
+    half-unit guard once row counts reach ~1e10 AND whose round() is
+    engine-ambiguous; this form is bit-identical cross-engine and
+    scale-independent. Requires x exactly `digits`-decimal (money
+    columns); integer magnitude bound: |sum| * 10^digits < 2^63."""
+    m = 10 ** digits
+    return F.sum(F.round(value * m).cast("bigint")).cast("double") / F.lit(
+        float(m)
+    )
+
+
+def sql_fixed_sum(value_expr: str, digits: int = 2) -> str:
+    m = 10 ** digits
+    return (
+        f"(CAST(SUM(CAST(round({value_expr} * {m}) AS BIGINT)) AS DOUBLE)"
+        f" / {float(m)})"
+    )
+
+
+def floor_units(value: Column, digits: int = 6) -> Column:
+    """Micro/deci-unit BIGINT quantization floor(x * 10^digits) — the
+    doctrine form for scores that are transcendental (ln/exp) or
+    otherwise not an exact small-denominator rational. Unlike
+    round(x, digits), floor of the SAME double is deterministic on
+    every engine (no shortest-repr-vs-exact-binary half-boundary
+    split); use it whenever both engines compute `value` from an
+    identical IEEE expression tree, and for irrational-valued scores
+    where the grid-landing probability is measure-zero."""
+    return F.floor(value * F.lit(float(10 ** digits))).cast("bigint")
+
+
+def sql_floor_units(value_expr: str, digits: int = 6) -> str:
+    return (
+        f"CAST(floor(({value_expr}) * {float(10 ** digits)}) AS BIGINT)"
+    )
+
+def half_up_units(value: Column, digits: int = 6) -> Column:
+    """Nearest-integer 10^digits-unit BIGINT quantization via
+    floor(x * 10^digits + 0.5) — pure IEEE mult/add/floor, so unlike
+    round(x, digits) both engines agree given the same double. Prefer
+    this over floor_units when the score's TRUE value can land exactly
+    ON the quantization grid (cosine == 1.0 for planted copies,
+    variance of short-decimal data, interpolated percentiles of money
+    columns): there the two engines' doubles may differ by ulps AROUND
+    the grid point, which flips floor_units but sits a full half-unit
+    from this form's boundary. Conversely floor_units is the choice
+    when the double is bit-identical cross-engine (mirrored expression
+    trees) or the value class is irrational."""
+    return F.floor(value * F.lit(float(10 ** digits)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+
+
+def sql_half_up_units(value_expr: str, digits: int = 6) -> str:
+    return (
+        f"CAST(floor(({value_expr}) * {float(10 ** digits)} + 0.5) AS BIGINT)"
+    )

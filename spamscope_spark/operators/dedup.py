@@ -278,9 +278,16 @@ def minhash_lsh_pairs(
     b = buckets.select(
         F.col("doc").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)], "band", "bucket"
     )
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
-    ) / F.lit(float(k))
+    # exact rational rounding of the integer ratio matches/k
+    # (functions/exact.py) — round(double, 6) is engine-ambiguous at
+    # half boundaries, and m/k CAN land on one (e.g. 1/64-grid values)
+    est = exact.round6_ratio(
+        sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(k)
+        ),
+        F.lit(k),
+    )
     # estimate BEFORE the pair dedup: a pair colliding in several bands
     # yields identical (id_a, id_b, est) rows (same signatures each
     # time), so distinct() on the 3-column result equals distinct() on
@@ -289,7 +296,7 @@ def minhash_lsh_pairs(
     return (
         a.join(b, on=["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("est_jaccard", F.round(est, 6))
+        .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .distinct()
@@ -337,7 +344,7 @@ def sql_minhash_lsh_pairs(
         SELECT * FROM buckets0 {bucket_filter}
     ), cand AS (
         SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
-               round(CAST({eq_terms} AS DOUBLE) / {float(k)}, 6) AS est_jaccard
+               {exact.sql_round6_ratio(f"({eq_terms})", str(k))} AS est_jaccard
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
     )
@@ -410,12 +417,16 @@ def incremental_lsh_matches(
         "band",
         "bucket",
     )
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
-    ) / F.lit(float(k))
+    est = exact.round6_ratio(
+        sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(k)
+        ),
+        F.lit(k),
+    )
     cand = (
         a.join(b, on=["band", "bucket"])
-        .withColumn("est_jaccard", F.round(est, 6))
+        .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("new_id", "match_id", "est_jaccard")
         .distinct()
@@ -481,7 +492,7 @@ def sql_incremental_lsh_matches(
     nb AS ({bands('nsig')}),
     cand AS (
         SELECT DISTINCT a.doc AS new_id, b.doc AS match_id,
-               round(CAST({eq_terms} AS DOUBLE) / {float(k)}, 6) AS est_jaccard
+               {exact.sql_round6_ratio(f"({eq_terms})", str(k))} AS est_jaccard
         FROM nb a JOIN cb b ON a.band = b.band AND a.bucket = b.bucket
     )
     SELECT new_id, match_id, est_jaccard

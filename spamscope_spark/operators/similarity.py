@@ -14,6 +14,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..functions import exact as exact_fns
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -238,9 +240,11 @@ def ann_recall(
     return per_q.select(
         "query_id",
         F.lit(k).cast("int").alias("k"),
-        F.round(
-            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact").cast("double"),
-            6,
+        # exact rational rounding of the integer ratio n_hit/n_exact
+        # (functions/exact.py) — round(double, 6) is engine-ambiguous
+        # at half boundaries
+        exact_fns.round6_ratio(
+            F.coalesce(F.col("n_hit"), F.lit(0)), F.col("n_exact")
         ).alias("recall_at_k"),
     )
 
@@ -310,9 +314,19 @@ def embedding_neardup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         # a pair colliding in several tables is still one candidate
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .withColumn("_cos", cosine(F.col("va"), F.col("vb")))
+        # threshold on the RAW cosine (mirrors the oracle's WHERE);
+        # emitted value is micro-unit BIGINT via half-up floor(x*1e6
+        # + 0.5): planted copies land EXACTLY on the 1.0 grid point
+        # while the two engines sum the dot product in different
+        # orders, so floor(x*1e6) would flip on ulp noise there —
+        # the half-up form sits a full half-unit away
+        # (functions/exact.py)
+        .where(F.col("_cos") >= threshold)
+        .select(
+            "id_a", "id_b",
+            exact_fns.half_up_units(F.col("_cos"), 6).alias("cos_e6"),
+        )
     )
 
 
@@ -532,7 +546,12 @@ def semantic_dedup_pairs(
     return (
         a.join(b, "cl")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .withColumn("_cos", cosine(F.col("va"), F.col("vb")))
+        # raw-cosine threshold + half-up micro-unit BIGINT output, as
+        # in embedding_neardup_pairs (functions/exact.py doctrine)
+        .where(F.col("_cos") >= threshold)
+        .select(
+            "id_a", "id_b",
+            exact_fns.half_up_units(F.col("_cos"), 6).alias("cos_e6"),
+        )
     )

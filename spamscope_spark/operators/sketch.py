@@ -29,6 +29,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..functions import exact as exact_fns
+
 HASH_SPACE = float(1 << 48)  # md5[0:12] hex → 48-bit int
 
 
@@ -72,10 +74,14 @@ def kmv_distinct(
         .select(
             F.col("grp").alias(group_col),
             "n_exact",
-            F.round(est, 4).alias("kmv_estimate"),
-            F.round(
+            # half-up fixed-point BIGINT (functions/exact.py): the
+            # estimate is exactly integer-valued in the n < k branch
+            # (ON the quantization grid), where floor would flip on
+            # ulp noise and round(x, 4) splits across engines
+            exact_fns.half_up_units(est, 4).alias("kmv_estimate_e4"),
+            exact_fns.half_up_units(
                 F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
-            ).alias("rel_err"),
+            ).alias("rel_err_e6"),
         )
     )
 
@@ -107,8 +113,9 @@ def sql_kmv_distinct(
         FROM bottomk
     )
     SELECT est.grp AS {group_col}, exact.n_exact,
-        round(est.e, 4) AS kmv_estimate,
-        round(abs(est.e - exact.n_exact) / exact.n_exact, 6) AS rel_err
+        {exact_fns.sql_half_up_units("est.e", 4)} AS kmv_estimate_e4,
+        {exact_fns.sql_half_up_units(
+            "abs(est.e - exact.n_exact) / exact.n_exact", 6)} AS rel_err_e6
     FROM est JOIN exact USING (grp)
     """
 

@@ -44,8 +44,13 @@ def profile_columns(
             .alias(f"_nulls_{name}")
         )
         aggs.append(F.countDistinct(F.col(name)).alias(f"_nd_{name}"))
-        mn = F.round(F.min(num), 6) if num is not None else F.lit(None)
-        mx = F.round(F.max(num), 6) if num is not None else F.lit(None)
+        # no rounding: min/max of a column IS one of its values (the
+        # profiled numeric views are integers, epoch seconds, or
+        # exactly-2-decimal doubles — a round(x, 6) was a no-op, and
+        # round() is the engine-ambiguous primitive the exact.py
+        # doctrine bans from output schemas)
+        mn = F.min(num) if num is not None else F.lit(None)
+        mx = F.max(num) if num is not None else F.lit(None)
         aggs.append(mn.cast("double").alias(f"_mn_{name}"))
         aggs.append(mx.cast("double").alias(f"_mx_{name}"))
     wide = df.agg(*aggs)
@@ -72,8 +77,8 @@ def sql_profile_columns(
     (DuckDB fuses them; the Spark side is the single-pass form)."""
     branches = []
     for name, num in cols:
-        mn = f"round(min({num}), 6)" if num is not None else "NULL"
-        mx = f"round(max({num}), 6)" if num is not None else "NULL"
+        mn = f"min({num})" if num is not None else "NULL"
+        mx = f"max({num})" if num is not None else "NULL"
         branches.append(
             f"""SELECT '{name}' AS col_name,
                 CAST(count(*) AS BIGINT) AS n_rows,
@@ -121,13 +126,16 @@ def chi2_independence(
         "c",
         "n",
         # expected is an exact integer ratio rt*ct/tot — round the
-        # rational (functions/exact.py); contrib stays a float-chain
-        # round: its reduced denominator rt*ct*tot essentially never
-        # divides 2e6, and the exact-integer form would overflow BIGINT
+        # rational (functions/exact.py). contrib is a float chain, but
+        # one mirrored op-for-op in the oracle, so both engines hold
+        # the bit-identical double — floor-quantization to micro-units
+        # is then fully deterministic, where round(x, 6) splits at half
+        # boundaries (exact-integer rationals like contrib CAN land on
+        # them; the integer-arithmetic form would overflow BIGINT)
         exact.round6_ratio(
             F.col("_rt") * F.col("_ct"), F.col("_tot")
         ).alias("expected"),
-        F.round(contrib, 6).alias("contrib"),
+        exact.floor_units(contrib, 6).alias("contrib_e6"),
     )
 
 
@@ -150,8 +158,9 @@ def sql_chi2_independence(
     SELECT r, c, n,
         {exact.sql_round6_ratio("rt * ct", "tot")}
             AS expected,
-        round((n - CAST(rt AS DOUBLE) * ct / tot)
-              * (n - CAST(rt AS DOUBLE) * ct / tot)
-              / (CAST(rt AS DOUBLE) * ct / tot), 6) AS contrib
+        {exact.sql_floor_units(
+            "(n - CAST(rt AS DOUBLE) * ct / tot)"
+            " * (n - CAST(rt AS DOUBLE) * ct / tot)"
+            " / (CAST(rt AS DOUBLE) * ct / tot)", 6)} AS contrib_e6
     FROM m
     """

@@ -158,8 +158,10 @@ SQL_DUP_TEXT = (
     f"""
     SELECT l_returnflag, l_linestatus,
         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-        round(SUM(l_extendedprice), 2) AS sum_base_price,
-        round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        {exact.sql_fixed_sum("l_extendedprice", 2)} AS sum_base_price,
+        {exact.sql_round_ratio(
+            "SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))",
+            "10000", 2)} AS sum_disc_price,
         {exact.sql_round_ratio(exact.sql_centi_sum("l_quantity"),
                                "100 * COUNT(*)", 4)} AS avg_qty,
         {exact.sql_round_ratio(exact.sql_centi_sum("l_extendedprice"),
@@ -178,8 +180,21 @@ def q_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("double").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            # money sums as exact fixed-point integers (functions/
+            # exact.py): round(SUM(double), 2) accumulates order-
+            # dependent float error that passes 0.005 around ~1e10
+            # rows — the integer sum is commutative-exact at any scale
+            exact.fixed_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            exact.round_ratio(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("bigint")
+                ),
+                F.lit(10000), 2,
+            ).alias("sum_disc_price"),
             # means from exact centi-unit integers: avg() of doubles
             # is summation-order-dependent and round() is ambiguous at
             # half boundaries (functions/exact.py)
@@ -198,9 +213,9 @@ def q_pricing_summary(spark, sf_dir):
 
 @query(
     "q_top_customers",
-    """
+    f"""
     SELECT c.c_custkey, c.c_name,
-        round(SUM(o.o_totalprice), 2) AS total_spent,
+        {exact.sql_fixed_sum("o.o_totalprice", 2)} AS total_spent,
         CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -216,7 +231,7 @@ def q_top_customers(spark, sf_dir):
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            exact.fixed_sum(F.col("o_totalprice"), 2).alias("total_spent"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
@@ -226,10 +241,10 @@ def q_top_customers(spark, sf_dir):
 
 @query(
     "q_region_rollup",
-    """
+    f"""
     SELECT r.r_name AS region, n.n_name AS nation,
         CAST(COUNT(*) AS BIGINT) AS n_customers,
-        round(SUM(c.c_acctbal), 2) AS total_acctbal
+        {exact.sql_fixed_sum("c.c_acctbal", 2)} AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -247,7 +262,7 @@ def q_region_rollup(spark, sf_dir):
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            exact.fixed_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
 
@@ -280,9 +295,11 @@ def q_order_rank_window(spark, sf_dir):
     "q_running_total",
     """
     SELECT o_custkey, o_orderkey,
-        round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / 100.0 AS running_total
     FROM orders
     """,
 )
@@ -297,7 +314,15 @@ def q_running_total(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        # running sum of exact centi-units — order-exact at any prefix
+        # length (round(SUM(double) OVER, 2) drifts past the half-unit
+        # guard on long partitions)
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .over(w)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("running_total"),
     )
 
 
@@ -399,9 +424,10 @@ def q_topk_events(spark, sf_dir):
 
 @query(
     "q_tumbling_window",
-    """
+    f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-        CAST(COUNT(*) AS BIGINT) AS n, round(SUM(value), 2) AS sum_value
+        CAST(COUNT(*) AS BIGINT) AS n,
+        {exact.sql_fixed_sum("value", 2)} AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -410,21 +436,24 @@ def q_tumbling_window(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact.fixed_sum(F.col("value"), 2).alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 
 
 @query(
     "q_sliding_window",
-    """
+    f"""
     WITH assigned AS (
         SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
                        date_trunc('hour', ts)]) AS window_start, value
         FROM events
     )
     SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
-           round(SUM(value), 2) AS sum_value
+           {exact.sql_fixed_sum("value", 2)} AS sum_value
     FROM assigned GROUP BY 1
     """,
 )
@@ -433,7 +462,10 @@ def q_sliding_window(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact.fixed_sum(F.col("value"), 2).alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
 
@@ -657,21 +689,27 @@ def q_turn_integrity(spark, sf_dir):
     "q_salted_agg",
     """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        round(SUM(value), 2) AS total_value,
-        round(MAX(value), 2) AS max_value
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+            AS total_value,
+        MAX(value) AS max_value
     FROM events GROUP BY user_id
     """,
 )
 def q_salted_agg(spark, sf_dir):
     """two-stage salted aggregation — identical result to a plain
     groupBy, but hot keys fan out over 16 salts first (§2.2 skew)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").withColumn(
+        # exact centi-units BEFORE the two-stage sum: the salted
+        # partial sums then merge as integers, so the result is
+        # independent of salt assignment/merge order at any scale
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
+    )
     out = skew.salted_agg(
         e,
         key=["user_id"],
         aggs=[
             skew.salted("n_events", "count"),
-            skew.salted("sum_value_raw", "sum", "value"),
+            skew.salted("sum_value_c", "sum", "value_c"),
             skew.salted("max_value_raw", "max", "value"),
         ],
         salt_source=F.col("event_id"),
@@ -680,8 +718,12 @@ def q_salted_agg(spark, sf_dir):
     return out.select(
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round("sum_value_raw", 2).alias("total_value"),
-        F.round("max_value_raw", 2).alias("max_value"),
+        (F.col("sum_value_c").cast("double") / F.lit(100.0)).alias(
+            "total_value"
+        ),
+        # max of an exactly-2-decimal double needs no rounding: it IS
+        # one of the input values
+        F.col("max_value_raw").alias("max_value"),
     )
 
 
@@ -1396,7 +1438,9 @@ _SQL_NEARDUP_EXACT = f"""
         FROM flat a JOIN flat b ON a.pos = b.pos AND a.vid < b.vid
         GROUP BY 1, 2
     )
-    SELECT d.id_a, d.id_b, round(d.dp / (na.nrm * nb.nrm), 6) AS cos
+    SELECT d.id_a, d.id_b,
+        CAST(floor((d.dp / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) AS BIGINT)
+            AS cos_e6
     FROM dots d
     JOIN norms na ON na.vid = d.id_a
     JOIN norms nb ON nb.vid = d.id_b
@@ -1652,21 +1696,33 @@ def q_turns_flagship(spark, sf_dir):
     "q_lag_lead",
     """
     SELECT event_id, user_id,
-        round(value - lag(value) OVER w, 2) AS delta_prev,
-        round(lead(value) OVER w - value, 2) AS delta_next
+        (CAST(round(value * 100) AS BIGINT)
+         - lag(CAST(round(value * 100) AS BIGINT)) OVER w) / 100.0
+            AS delta_prev,
+        (lead(CAST(round(value * 100) AS BIGINT)) OVER w
+         - CAST(round(value * 100) AS BIGINT)) / 100.0 AS delta_next
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def q_lag_lead(spark, sf_dir):
     """lag/lead analytics — turn-adjacency pairing primitive."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").withColumn(
+        # differences in exact centi-units: float subtraction of two
+        # 2-decimal doubles plus round() is engine-ambiguous at half
+        # boundaries; the integer difference is exact
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
-        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+        (
+            (F.col("value_c") - F.lag("value_c").over(w)) / F.lit(100.0)
+        ).alias("delta_prev"),
+        (
+            (F.lead("value_c").over(w) - F.col("value_c")) / F.lit(100.0)
+        ).alias("delta_next"),
     )
 
 
@@ -1782,7 +1838,8 @@ def q_string_funcs(spark, sf_dir):
         AS order_day,
         CAST(extract(dow FROM o_orderdate) AS INTEGER) AS dow,
         CAST(COUNT(*) AS BIGINT) AS n,
-        round(SUM(o_totalprice), 2) AS total
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -1798,7 +1855,10 @@ def q_date_funcs(spark, sf_dir):
             .alias("order_day"),
             (F.dayofweek("o_orderdate") - 1).alias("dow"),
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact.fixed_sum(F.col("o_totalprice"), 2).alias("total"),
+        )
     )
 
 
@@ -2492,9 +2552,11 @@ def q_first_last(spark, sf_dir):
     "q_range_window",
     """
     SELECT event_id, user_id,
-        round(SUM(value) OVER (PARTITION BY user_id
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id
             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_1h
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / 100.0 AS trailing_1h
     FROM events
     """,
 )
@@ -2512,7 +2574,14 @@ def q_range_window(spark, sf_dir):
         .rangeBetween(-3600, Window.currentRow)
     )
     return e.select(
-        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("trailing_1h")
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .over(w)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("trailing_1h"),
     )
 
 
@@ -2652,7 +2721,8 @@ def q_sample_hash(spark, sf_dir):
     "q_part_revenue",
     """
     SELECT p.p_brand,
-        round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                 AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size <= 20
@@ -2671,7 +2741,18 @@ def q_part_revenue(spark, sf_dir):
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # discounted price is exactly 4-decimal (2-dec x 2-dec):
+            # sum as exact 1e-4-unit integers (functions/exact.py)
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -2682,7 +2763,8 @@ def q_part_revenue(spark, sf_dir):
     """
     SELECT c.c_mktsegment AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           round(SUM(o.o_totalprice), 2) AS total
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -2702,7 +2784,7 @@ def q_bucketed_join(spark, sf_dir):
         joined.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            exact.fixed_sum(F.col("o_totalprice"), 2).alias("total"),
         )
     )
 
@@ -2712,7 +2794,8 @@ def q_bucketed_join(spark, sf_dir):
     """
     SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
            CAST(COUNT(*) AS BIGINT) AS n,
-           round(SUM(value), 2) AS total_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
     FROM events
     WHERE event_type IN ('click', 'purchase')
       AND CAST(ts AS DATE) >= DATE '2024-01-15'
@@ -2740,7 +2823,7 @@ def q_partition_pruned(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact.fixed_sum(F.col("value"), 2).alias("total_value"),
         )
     )
 
@@ -3099,7 +3182,8 @@ def q_tfidf(spark, sf_dir):
     """
     SELECT coalesce(o_orderstatus, '<all>') AS status,
            coalesce(o_orderpriority, '<all>') AS priority,
-           round(SUM(o_totalprice), 2) AS total,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
@@ -3118,7 +3202,7 @@ def q_grouping_sets(spark, sf_dir):
             "o_orderpriority",
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            exact.fixed_sum(F.col("o_totalprice"), 2).alias("total"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -3191,6 +3275,13 @@ _SQL_MIX_TARGET = "(CASE " + " ".join(
     f"WHEN lang = '{k}' THEN CAST({v} AS DOUBLE)"
     for k, v in sorted(_MIX_TARGETS.items())
 ) + " ELSE CAST(0.0 AS DOUBLE) END)"
+# integer centi-target for the exact-rational sample_rate: rate =
+# min(1, target/share) = min(1, target_c * total / (100 * lang_tokens))
+# is then a pure integer ratio (functions/exact.py)
+_SQL_MIX_TARGET_C = "(CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {int(round(v * 100))}"
+    for k, v in sorted(_MIX_TARGETS.items())
+) + " ELSE 0 END)"
 
 
 @query(
@@ -3204,10 +3295,13 @@ _SQL_MIX_TARGET = "(CASE " + " ".join(
         GROUP BY lang
     )
     SELECT lang, lang_tokens,
-        round(lang_tokens / SUM(lang_tokens) OVER (), 6) AS actual_share,
+        {exact.sql_round6_ratio("lang_tokens", "SUM(lang_tokens) OVER ()")}
+            AS actual_share,
         {_SQL_MIX_TARGET} AS target_share,
-        round(least(CAST(1.0 AS DOUBLE), {_SQL_MIX_TARGET}
-              / (lang_tokens / SUM(lang_tokens) OVER ())), 6) AS sample_rate
+        least(CAST(1.0 AS DOUBLE),
+              {exact.sql_round6_ratio(
+                  f"{_SQL_MIX_TARGET_C} * SUM(lang_tokens) OVER ()",
+                  "100 * lang_tokens")}) AS sample_rate
     FROM t
     """,
 )
@@ -3226,17 +3320,29 @@ def q_mixture_weights(spark, sf_dir):
         )
     ).cast("long")
     target = F.lit(0.0)
+    target_c = F.lit(0)
     for k, v in sorted(_MIX_TARGETS.items()):
         target = F.when(F.col("lang") == k, F.lit(v)).otherwise(target)
+        target_c = (
+            F.when(F.col("lang") == k, F.lit(int(round(v * 100))))
+            .otherwise(target_c)
+        )
     per_lang = d.groupBy("lang").agg(F.sum(toks).alias("lang_tokens"))
     w = Window.partitionBy()
-    share = F.col("lang_tokens") / F.sum("lang_tokens").over(w)
+    total = F.sum("lang_tokens").over(w)
     return per_lang.select(
         "lang",
         "lang_tokens",
-        F.round(share, 6).alias("actual_share"),
+        # both shares are integer ratios — exact rational rounding
+        # (functions/exact.py), never round(double, 6)
+        exact.round6_ratio(F.col("lang_tokens"), total).alias("actual_share"),
         target.alias("target_share"),
-        F.round(F.least(F.lit(1.0), target / share), 6).alias("sample_rate"),
+        F.least(
+            F.lit(1.0),
+            exact.round6_ratio(
+                target_c * total, F.lit(100) * F.col("lang_tokens")
+            ),
+        ).alias("sample_rate"),
     )
 
 
@@ -3670,7 +3776,8 @@ def q_norm_dedup(spark, sf_dir):
     )
     SELECT event_type,
            count(*) AS n_events,
-           round(sum(value), 6) AS total_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
     FROM events, g
     WHERE user_id BETWEEN umin + (umax - umin) * 45 // 100
                       AND umin + (umax - umin) * 60 // 100
@@ -3696,7 +3803,7 @@ def q_zorder_pruned(spark, sf_dir):
     df = zorder.pruned_scan(spark, path, u_lo, u_hi, t_lo, t_hi)
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        exact.fixed_sum(F.col("value"), 2).alias("total_value"),
     )
 
 
@@ -3788,7 +3895,8 @@ def q_gap_fill(spark, sf_dir):
     """
     SELECT o_orderpriority,
            count(*) AS n_items,
-           round(sum(l_extendedprice), 2) AS revenue
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -3814,7 +3922,7 @@ def q_salted_join(spark, sf_dir):
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        exact.fixed_sum(F.col("l_extendedprice"), 2).alias("revenue"),
     )
 
 

@@ -323,7 +323,8 @@ class TestStatsOperators:
         out = chi2_independence(df, F.col("r0"), F.col("c0")).collect()
         assert len(out) == 4
         for r in out:
-            assert r["n"] == 5 and r["expected"] == 5.0 and r["contrib"] == 0.0
+            assert r["n"] == 5 and r["expected"] == 5.0
+            assert r["contrib_e6"] == 0
 
     def test_chi2_known_2x2(self, spark):
         from spamscope_spark.operators.stats import chi2_independence
@@ -333,7 +334,8 @@ class TestStatsOperators:
         df = spark.createDataFrame(rows, ["r0", "c0"])
         out = chi2_independence(df, F.col("r0"), F.col("c0")).collect()
         # only populated cells appear (zeros don't exist as rows)
-        assert sum(r["contrib"] for r in out) == 10.0  # 5 + 5 from the 2 cells
+        # 5 + 5 from the 2 cells, in micro-units
+        assert sum(r["contrib_e6"] for r in out) == 10_000_000
 
 
 class TestSilenceBoundedState:

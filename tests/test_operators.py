@@ -587,11 +587,11 @@ class TestKmvSketch:
         df = spark.createDataFrame(rows, "grp string, val string")
         out = {r["grp"]: r for r in kmv_distinct(df, "grp", "val", k=64).collect()}
         # a group under k distinct values is represented exactly
-        assert out["small"]["kmv_estimate"] == 10.0
-        assert out["small"]["rel_err"] == 0.0
+        assert out["small"]["kmv_estimate_e4"] == 100_000
+        assert out["small"]["rel_err_e6"] == 0
         # k=64 → expected rel error ~1/sqrt(64)=12.5%; 50% is a safe bound
         assert out["big"]["n_exact"] == 5000
-        assert out["big"]["rel_err"] < 0.5
+        assert out["big"]["rel_err_e6"] < 500_000
 
     def test_prefilter_preserves_result(self, spark):
         """The scale-path hash prefilter (keep h < k*2^48/N_lower) must
@@ -609,7 +609,7 @@ class TestKmvSketch:
         pre = kmv_distinct(
             df, "grp", "val", k=32, prefilter_max_hash=thr
         ).collect()[0]
-        assert pre["kmv_estimate"] == full["kmv_estimate"]
+        assert pre["kmv_estimate_e4"] == full["kmv_estimate_e4"]
         assert pre["n_exact"] == full["n_exact"]
 
 
@@ -905,9 +905,9 @@ class TestPlantedNeardups:
         pairs = similarity.semantic_dedup_pairs(
             emb.unionByName(copies), threshold=0.9, n_clusters=6, n_iter=2
         ).collect()
-        found = {(r["id_a"], r["id_b"]): r["cos"] for r in pairs}
+        found = {(r["id_a"], r["id_b"]): r["cos_e6"] for r in pairs}
         for vid in range(25):
-            assert found.get((vid, vid + 1_000_000_000)) == 1.0, vid
+            assert found.get((vid, vid + 1_000_000_000)) == 1_000_000, vid
 
     def test_semantic_dedup_cluster_cap_drops_explicitly(self, spark):
         """cluster_cap=0 empties every cluster -> zero pairs (the cap

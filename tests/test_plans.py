@@ -160,7 +160,7 @@ def test_neardup_planted_pairs_found_in_fixture(spark):
     from spamscope_spark.plans import queries as Q
 
     rows = Q.q_embedding_neardup(spark, SF).collect()
-    got = {(r["id_a"], r["id_b"]): r["cos"] for r in rows}
+    got = {(r["id_a"], r["id_b"]): r["cos_e6"] for r in rows}
     emb_ids = {
         r["vec_id"]
         for r in Q._t(spark, SF, "embeddings").select("vec_id").collect()
@@ -172,7 +172,9 @@ def test_neardup_planted_pairs_found_in_fixture(spark):
     }
     assert planted, "fixture has no plantable ids"
     assert set(got) == planted  # nothing else reaches cos >= 0.9
-    assert all(abs(c - 1.0) < 1e-6 for c in got.values())
+    # planted copies have cos == 1.0 up to ulps; the half-up
+    # quantizer (functions/exact.py) maps that to exactly 1e6
+    assert all(c == 1_000_000 for c in got.values())
 
 
 def test_ann_graded_recall_is_one_on_planted_copies(spark):
