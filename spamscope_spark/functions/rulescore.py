@@ -117,8 +117,20 @@ def with_rule_score(
         for r in rules
     ]
     details = F.array_compact(F.array(*entries))
-    score = F.round(
-        F.aggregate(details, F.lit(0.0), lambda acc, x: acc + x["pts"]), 1
+    # exact deci-point integer sum / 10.0: rule points are 1-decimal,
+    # so the integer sum recovers the exact score (same value the old
+    # round(fold, 1) produced) without the engine-ambiguous round()
+    # (functions/exact.py doctrine)
+    score = (
+        sum(
+            (
+                F.when(r.spark_pred(lowered), F.lit(int(round(r.pts * 10))))
+                .otherwise(F.lit(0))
+                for r in rules
+            ),
+            F.lit(0),
+        ).cast("bigint")
+        / F.lit(10.0)
     )
     return df.withColumn(f"{prefix}_details", details).withColumn(
         f"{prefix}_score", score
@@ -135,7 +147,7 @@ def sql_rule_score_columns(
     low = f"lower(coalesce({text_expr}, ''))"
     preds = [r.sql_pred(low) for r in rules]
     score = " + ".join(
-        f"(CASE WHEN {p} THEN {r.pts} ELSE 0.0 END)"
+        f"(CASE WHEN {p} THEN {int(round(r.pts * 10))} ELSE 0 END)"
         for p, r in zip(preds, rules)
     )
     n = " + ".join(f"(CASE WHEN {p} THEN 1 ELSE 0 END)" for p in preds)
@@ -143,9 +155,9 @@ def sql_rule_score_columns(
         f"(CASE WHEN {p} THEN '{r.name}' END)" for p, r in zip(preds, rules)
     )
     return {
-        # CAST: DuckDB's decimal literals make the sum DECIMAL; the
-        # Spark side is DOUBLE
-        "sa_score": f"CAST(round({score}, 1) AS DOUBLE)",
+        # integer deci-point sum, one exact division — mirrors the
+        # Spark side bit-for-bit
+        "sa_score": f"(CAST(({score}) AS BIGINT) / 10.0)",
         "n_rules": f"CAST({n} AS INT)",
         "rules": f"concat_ws(',', {names})",
     }

@@ -120,7 +120,11 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), p_ratio * F.lit(4.0)))
         + F.lit(0.4) * F.least(F.lit(1.0), stop / F.lit(5.0))
     )
-    return F.round(score, 4)
+    # RAW double: the expression is mirrored op-for-op in the SQL twin,
+    # so both engines hold the identical value — callers filter on it
+    # directly and quantize outputs via exact.half_up_units (round(x,4)
+    # was engine-ambiguous: these rationals CAN land on half grids)
+    return score
 
 
 def sql_quality_score(text_expr: str) -> str:
@@ -129,9 +133,9 @@ def sql_quality_score(text_expr: str) -> str:
     p_ratio = f"(CAST({sql_punct_count(text_expr)} AS DOUBLE) / {n_chars})"
     stop = f"CAST({sql_presence_count(text_expr, STOPWORDS['en'])} AS DOUBLE)"
     return (
-        f"round(0.3 * least(1.0, {n_tok} / 100.0)"
+        f"(0.3 * least(1.0, {n_tok} / 100.0)"
         f" + 0.3 * (1.0 - least(1.0, {p_ratio} * 4.0))"
-        f" + 0.4 * least(1.0, {stop} / 5.0), 4)"
+        f" + 0.4 * least(1.0, {stop} / 5.0))"
     )
 
 
@@ -288,7 +292,8 @@ def char_entropy(text: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x * F.log2(x),
     )
-    return F.when(n > 0, F.round(ent, 6))
+    # RAW double (quantize at the output site via exact.half_up_units)
+    return F.when(n > 0, ent)
 
 
 def sql_char_entropy(text_expr: str) -> str:
@@ -296,11 +301,11 @@ def sql_char_entropy(text_expr: str) -> str:
     rounding."""
     chars = f"list_filter(string_split(coalesce({text_expr}, ''), ''), c -> c <> '')"
     return f"""
-    CASE WHEN len({chars}) > 0 THEN round(
+    CASE WHEN len({chars}) > 0 THEN
         -list_sum(list_transform(list_distinct({chars}),
             c -> (len(list_filter({chars}, x -> x = c))
                   / CAST(len({chars}) AS DOUBLE))
                  * log2(len(list_filter({chars}, x -> x = c))
-                        / CAST(len({chars}) AS DOUBLE)))), 6)
+                        / CAST(len({chars}) AS DOUBLE))))
     END
     """

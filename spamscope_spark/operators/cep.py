@@ -27,6 +27,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..functions import exact
+
 __all__ = ["match_sequence", "sql_match_sequence"]
 
 
@@ -193,26 +195,33 @@ def score_rate_windows(cnt: DataFrame, key: str, lookback: int = 6) -> DataFrame
     # guard is an EXACT integer predicate (m*sum_sq > sum^2): engines
     # disagree on double x/0 (Spark ANSI → error, DuckDB → inf), so the
     # division must never be reached on both sides.
-    mean = F.when(m > 0, s1 / m)
+    # mean is an exact integer ratio -> exact rational rounding; z is
+    # quantized half-up to 1e-4-unit BIGINT (functions/exact.py): its
+    # value CAN land exactly ON the grid (integer-count histories with
+    # perfect-square variance give rational z), where round(x, 4) was
+    # engine-ambiguous and plain floor would flip on ulp noise
+    mean = F.when(m > 0, exact.round_ratio(s1, m, 4))
     z = F.when(
         (m > 1) & (var_num > 0),
-        (F.col("n") - s1 / m) / F.sqrt((s2 - s1 * s1 / m) / (m - 1)),
+        exact.half_up_units(
+            (F.col("n") - s1 / m) / F.sqrt((s2 - s1 * s1 / m) / (m - 1)), 4
+        ),
     )
     return (
         cnt.withColumn("var_num", var_num)
         .withColumn("n_prev", m)
-        .withColumn("mean_prev", F.round(mean, 4))
-        .withColumn("z", F.round(z, 4))
+        .withColumn("mean_prev", mean)
+        .withColumn("z_e4", z)
     )
 
 
 def anomaly_predicate(min_history: int = 4, z_threshold: float = 2.0) -> F.Column:
     """The keep/drop decision over score_rate_windows output (compares
-    the ROUNDED z, so both engines decide identically)."""
+    the QUANTIZED z_e4, so both engines decide identically)."""
     return (
         (F.col("n_prev") >= min_history)
         & (F.col("var_num") > 0)
-        & (F.col("z") >= F.lit(z_threshold))
+        & (F.col("z_e4") >= F.lit(int(round(z_threshold * 10000))))
     )
 
 
@@ -253,7 +262,7 @@ def rate_anomaly(
     out = score_rate_windows(cnt, key, lookback).where(
         anomaly_predicate(min_history, z_threshold)
     )
-    return out.select(key, "window_start", "n", "n_prev", "mean_prev", "z")
+    return out.select(key, "window_start", "n", "n_prev", "mean_prev", "z_e4")
 
 
 def sql_rate_anomaly(
@@ -281,16 +290,18 @@ def sql_rate_anomaly(
                      ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING)
     )
     SELECT {key}, window_start, n, n_prev,
-        round(s1 / CAST(n_prev AS DOUBLE), 4) AS mean_prev,
-        round((n - s1 / CAST(n_prev AS DOUBLE))
-              / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n_prev)
-                     / (n_prev - 1)), 4) AS z
+        {exact.sql_round_ratio("s1", "n_prev", 4)} AS mean_prev,
+        {exact.sql_half_up_units(
+            "(n - s1 / CAST(n_prev AS DOUBLE))"
+            " / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n_prev)"
+            " / (n_prev - 1))", 4)} AS z_e4
     FROM stats
     WHERE n_prev >= {min_history}
       AND n_prev * s2 - s1 * s1 > 0
-      AND round((n - s1 / CAST(n_prev AS DOUBLE))
-                / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n_prev)
-                       / (n_prev - 1)), 4) >= {z_threshold}
+      AND {exact.sql_half_up_units(
+            "(n - s1 / CAST(n_prev AS DOUBLE))"
+            " / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n_prev)"
+            " / (n_prev - 1))", 4)} >= {int(round(z_threshold * 10000))}
     """
 
 

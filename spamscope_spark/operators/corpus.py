@@ -232,9 +232,14 @@ def bigram_logprob(
         doc_bg.join(model, on=["w1", "w2"])
         .groupBy(id_col)
         .agg(
-            F.round(
+            # half-up micro-unit BIGINT (functions/exact.py): ln() is
+            # libm-vs-JVM (ulp differences) and the weighted sum is
+            # accumulation-ordered, so the score class is irrational —
+            # never ON a quantization grid; round(x, 6) additionally
+            # split engines at half boundaries
+            exact.half_up_units(
                 F.sum(F.col("n_dw") * F.col("lp")) / F.sum("n_dw"), 6
-            ).alias("bigram_logprob"),
+            ).alias("bigram_logprob_e6"),
             F.sum("n_dw").alias("n_bigrams"),
         )
     )
@@ -267,7 +272,8 @@ def sql_bigram_logprob(
         FROM pair_counts p JOIN ctx c USING (w1)
     )
     SELECT b.{id_col},
-           round(SUM(b.n_dw * m.lp) / SUM(b.n_dw), 6) AS bigram_logprob,
+           {exact.sql_half_up_units("SUM(b.n_dw * m.lp) / SUM(b.n_dw)", 6)}
+               AS bigram_logprob_e6,
            CAST(SUM(b.n_dw) AS BIGINT) AS n_bigrams
     FROM doc_bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
     GROUP BY b.{id_col}
@@ -1150,19 +1156,23 @@ def tfidf_topk(
         tf.join(dfreq, on="word")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
-            "tfidf",
-            F.round(
+            # half-up 1e-4-unit BIGINT (functions/exact.py): tf*ln()
+            # is a per-row expression mirrored op-for-op, but ln is
+            # libm-vs-JVM; ranking on the quantized integer keeps the
+            # top-k cut deterministic cross-engine
+            "tfidf_e4",
+            exact.half_up_units(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")), 4
             ),
         )
     )
     w = Window.partitionBy(id_col).orderBy(
-        F.col("tfidf").desc(), F.col("word").asc()
+        F.col("tfidf_e4").desc(), F.col("word").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(id_col, "word", "tf", "df_docs", "tfidf", "rank")
+        .select(id_col, "word", "tf", "df_docs", "tfidf_e4", "rank")
     )
 
 
@@ -1189,12 +1199,14 @@ def sql_tfidf_topk(
         FROM {table}
     ), scored AS (
         SELECT tf.{id_col}, tf.word, tf.tf, dfreq.df_docs, n.n_docs,
-            round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_docs), 4) AS tfidf
+            {exact.sql_half_up_units(
+                "tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_docs)", 4)}
+                AS tfidf_e4
         FROM tf JOIN dfreq USING (word) CROSS JOIN n
     )
-    SELECT {id_col}, word, tf, df_docs, tfidf, rank FROM (
+    SELECT {id_col}, word, tf, df_docs, tfidf_e4, rank FROM (
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
-            ORDER BY tfidf DESC, word ASC) AS INT) AS rank
+            ORDER BY tfidf_e4 DESC, word ASC) AS INT) AS rank
         FROM scored
     ) WHERE rank <= {k}
     """
@@ -1764,9 +1776,11 @@ def dsir_weights(
         doc_b.join(F.broadcast(model), on="bucket")
         .groupBy(id_col)
         .agg(
-            F.round(F.sum(F.col("n_db") * F.col("lr")) / F.sum("n_db"), 6).alias(
-                "dsir_logweight"
-            ),
+            # half-up micro-unit BIGINT (functions/exact.py) — same
+            # irrational-score contract as bigram_logprob_e6
+            exact.half_up_units(
+                F.sum(F.col("n_db") * F.col("lr")) / F.sum("n_db"), 6
+            ).alias("dsir_logweight_e6"),
             F.sum("n_db").alias("n_tok"),
         )
     )
@@ -1813,7 +1827,8 @@ def sql_dsir_weights(
         FROM ({toks(corpus_sql, f'{id_col},')}) GROUP BY {id_col}, bucket
     )
     SELECT d.{id_col},
-           round(SUM(d.n_db * m.lr) / SUM(d.n_db), 6) AS dsir_logweight,
+           {exact.sql_half_up_units("SUM(d.n_db * m.lr) / SUM(d.n_db)", 6)}
+               AS dsir_logweight_e6,
            CAST(SUM(d.n_db) AS BIGINT) AS n_tok
     FROM doc_b d JOIN model m USING (bucket)
     GROUP BY d.{id_col}
@@ -1846,16 +1861,16 @@ def ccnet_buckets(
     cutoffs and the tier comparisons are bit-identical."""
     scores = bigram_logprob(df, id_col=id_col, text_col=text_col)
     cuts = scores.agg(
-        F.percentile("bigram_logprob", F.lit(1 / 3)).alias("c1"),
-        F.percentile("bigram_logprob", F.lit(2 / 3)).alias("c2"),
+        F.percentile("bigram_logprob_e6", F.lit(1 / 3)).alias("c1"),
+        F.percentile("bigram_logprob_e6", F.lit(2 / 3)).alias("c2"),
     )
     tier = (
-        F.when(F.col("bigram_logprob") >= F.col("c2"), F.lit("head"))
-        .when(F.col("bigram_logprob") >= F.col("c1"), F.lit("middle"))
+        F.when(F.col("bigram_logprob_e6") >= F.col("c2"), F.lit("head"))
+        .when(F.col("bigram_logprob_e6") >= F.col("c1"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return scores.crossJoin(F.broadcast(cuts)).select(
-        id_col, "bigram_logprob", tier.alias("ppl_bucket")
+        id_col, "bigram_logprob_e6", tier.alias("ppl_bucket")
     )
 
 
@@ -1868,13 +1883,15 @@ def sql_ccnet_buckets(
     return f"""
     WITH scores AS ({lm}),
     cuts AS (
-        SELECT quantile_cont(CAST(bigram_logprob AS DOUBLE), {_PPL_LO}) AS c1,
-               quantile_cont(CAST(bigram_logprob AS DOUBLE), {_PPL_HI}) AS c2
+        SELECT quantile_cont(CAST(bigram_logprob_e6 AS DOUBLE), {_PPL_LO})
+                   AS c1,
+               quantile_cont(CAST(bigram_logprob_e6 AS DOUBLE), {_PPL_HI})
+                   AS c2
         FROM scores
     )
-    SELECT s.{id_col}, s.bigram_logprob,
-        CASE WHEN s.bigram_logprob >= c.c2 THEN 'head'
-             WHEN s.bigram_logprob >= c.c1 THEN 'middle'
+    SELECT s.{id_col}, s.bigram_logprob_e6,
+        CASE WHEN s.bigram_logprob_e6 >= c.c2 THEN 'head'
+             WHEN s.bigram_logprob_e6 >= c.c1 THEN 'middle'
              ELSE 'tail' END AS ppl_bucket
     FROM scores s CROSS JOIN cuts c
     """

@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from ..functions import exact
+
 
 def grouped_linreg(
     df: DataFrame,
@@ -58,13 +60,19 @@ def grouped_linreg(
     corr = cxy / F.sqrt(cxx * cyy)
     ok = (F.col("n") >= min_n) & (cxx > 0)
     oky = ok & (cyy > 0)
+    # half-up micro-unit BIGINT (functions/exact.py): the oracle twin
+    # deliberately uses DuckDB's independent regr_* aggregates, so the
+    # two engines' doubles differ in ulps; exact-line fixtures put the
+    # true value ON the grid (slope == 2.0), where round(x, 6) was
+    # engine-ambiguous and plain floor would flip on that ulp noise —
+    # the half-up form sits a full half-unit from its boundary there
     return g.select(
         F.col("grp").alias(group_col),
         "n",
-        F.when(ok, F.round(slope, 6)).alias("slope"),
-        F.when(ok, F.round(intercept, 6)).alias("intercept"),
-        F.when(oky, F.round(r2, 6)).alias("r2"),
-        F.when(oky, F.round(corr, 6)).alias("corr"),
+        F.when(ok, exact.half_up_units(slope, 6)).alias("slope_e6"),
+        F.when(ok, exact.half_up_units(intercept, 6)).alias("intercept_e6"),
+        F.when(oky, exact.half_up_units(r2, 6)).alias("r2_e6"),
+        F.when(oky, exact.half_up_units(corr, 6)).alias("corr_e6"),
     )
 
 
@@ -77,15 +85,20 @@ def sql_grouped_linreg(
     SELECT {group_col},
         CAST(COUNT(*) AS BIGINT) AS n,
         CASE WHEN COUNT(*) >= {min_n} AND var_pop({x_expr}) > 0
-             THEN round(regr_slope({y_expr}, {x_expr}), 6) END AS slope,
+             THEN {exact.sql_half_up_units(f"regr_slope({y_expr}, {x_expr})", 6)}
+             END AS slope_e6,
         CASE WHEN COUNT(*) >= {min_n} AND var_pop({x_expr}) > 0
-             THEN round(regr_intercept({y_expr}, {x_expr}), 6) END AS intercept,
+             THEN {exact.sql_half_up_units(
+                 f"regr_intercept({y_expr}, {x_expr})", 6)}
+             END AS intercept_e6,
         CASE WHEN COUNT(*) >= {min_n} AND var_pop({x_expr}) > 0
                   AND var_pop({y_expr}) > 0
-             THEN round(regr_r2({y_expr}, {x_expr}), 6) END AS r2,
+             THEN {exact.sql_half_up_units(f"regr_r2({y_expr}, {x_expr})", 6)}
+             END AS r2_e6,
         CASE WHEN COUNT(*) >= {min_n} AND var_pop({x_expr}) > 0
                   AND var_pop({y_expr}) > 0
-             THEN round(corr({y_expr}, {x_expr}), 6) END AS corr
+             THEN {exact.sql_half_up_units(f"corr({y_expr}, {x_expr})", 6)}
+             END AS corr_e6
     FROM {table}
     WHERE {x_expr} IS NOT NULL AND {y_expr} IS NOT NULL
     GROUP BY {group_col}

@@ -39,6 +39,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import exact
+from . import guards
+
 __all__ = ["bm25_topk", "sql_bm25_topk"]
 
 
@@ -104,15 +107,21 @@ def bm25_topk(
     scored = (
         per_term.join(F.broadcast(qt), "term")
         .groupBy("query_id", id_col)
-        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+        # half-up 1e-4-unit BIGINT (functions/exact.py): the ln-based
+        # score class is irrational (never ON the grid) and round(x, 4)
+        # was engine-ambiguous at half boundaries; ranking on the
+        # quantized integer keeps the top-k cut engine-stable
+        .agg(
+            exact.half_up_units(F.sum("term_score"), 4).alias("score_e4")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
+        F.col("score_e4").desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", id_col, "score", "rank")
+        .select("query_id", id_col, "score_e4", "rank")
     )
 
 
@@ -166,13 +175,14 @@ def sql_bm25_topk(
         CROSS JOIN cstats
     ), scored AS (
         SELECT qt.query_id, per_term.{id_col},
-            round(SUM(per_term.term_score), 4) AS score
+            {exact.sql_half_up_units("SUM(per_term.term_score)", 4)}
+                AS score_e4
         FROM per_term JOIN qt USING (term)
         GROUP BY 1, 2
     )
-    SELECT query_id, {id_col}, score, rank FROM (
+    SELECT query_id, {id_col}, score_e4, rank FROM (
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY score DESC, {id_col} ASC) AS INT) AS rank
+            ORDER BY score_e4 DESC, {id_col} ASC) AS INT) AS rank
         FROM scored
     ) WHERE rank <= {k}
     """
@@ -207,6 +217,7 @@ def phrase_search_topk(
     in-memory token arrays, embarrassingly parallel. (A postings join
     only wins when the phrase set is itself huge.) All-integer output:
     no float hazard between engines."""
+    guards.check_literal_dim(phrases, "phrase_search_topk phrases")
     pdim = spark.createDataFrame(phrases, "query_id string, phrase string")
     d = df.select(F.col(id_col), _tokens(text_col).alias("toks"))
     pt = F.split(F.col("phrase"), " ")

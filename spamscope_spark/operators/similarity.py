@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from ..functions import exact as exact_fns
+from . import guards
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -52,6 +53,7 @@ def cosine_topk(
     Catalyst broadcasts it (small), so the 'cross' is a broadcast
     nested-loop over |queries| × corpus, embarrassingly parallel over
     corpus partitions. Output: (query_id, neighbor_id, rank)."""
+    guards.check_literal_dim(query_ids, "cosine_topk query_ids")
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

@@ -17,6 +17,8 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from . import guards
+
 
 @dataclass(frozen=True)
 class SaltedAgg:
@@ -107,6 +109,9 @@ def salted_join(
             "semantics (the replicated small side would emit each "
             "unmatched row n_salts times)"
         )
+    # loud plan-time guard: n_salts copies of a NON-small side is a
+    # silently amplified shuffle at scale (operators/guards.py)
+    guards.check_replicated_size(small, n_salts, "salted_join small side")
     b = big.withColumn("_salt", salt_column(salt_source, n_salts))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -790,7 +790,9 @@ def q_lang_id(spark, sf_dir):
 @query(
     "q_char_entropy",
     f"""
-    SELECT doc_id, {textstats.sql_char_entropy('text')} AS entropy_bits,
+    SELECT doc_id,
+        {exact.sql_half_up_units(textstats.sql_char_entropy('text'), 6)}
+            AS entropy_e6,
         {textstats.sql_char_entropy('text')} < 2.0 AS low_entropy
     FROM documents
     """,
@@ -803,20 +805,29 @@ def q_char_entropy(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     ent = textstats.char_entropy(F.col("text"))
     return d.select(
-        "doc_id", ent.alias("entropy_bits"), (ent < 2.0).alias("low_entropy")
+        "doc_id",
+        exact.half_up_units(ent, 6).alias("entropy_e6"),
+        (ent < 2.0).alias("low_entropy"),
     )
 
 
 @query(
     "q_quality_score",
     f"""
-    SELECT doc_id, {textstats.sql_quality_score('text')} AS quality
+    SELECT doc_id,
+        {exact.sql_half_up_units(textstats.sql_quality_score('text'), 4)}
+            AS quality_e4
     FROM documents
     """,
 )
 def q_quality_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+    return d.select(
+        "doc_id",
+        exact.half_up_units(
+            textstats.quality_score(F.col("text")), 4
+        ).alias("quality_e4"),
+    )
 
 
 @query(
@@ -2439,43 +2450,116 @@ def q_cm_sketch(spark, sf_dir):
     "q_percentiles",
     """
     SELECT event_type,
-        round(quantile_cont(value, 0.25), 4) AS p25,
-        round(quantile_cont(value, 0.5), 4) AS p50,
-        round(quantile_cont(value, 0.75), 4) AS p75
+        quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+        quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0 AS p50,
+        quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) / 100.0 AS p75
     FROM events GROUP BY event_type
     """,
 )
 def q_percentiles(spark, sf_dir):
-    """exact interpolated percentiles (sort-based within group)."""
-    e = _t(spark, sf_dir, "events")
-    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    """exact interpolated percentiles (sort-based within group),
+    computed over exact centi-unit integers: with quarter quantiles and
+    integer order statistics every interpolation product/sum is exactly
+    representable, so BOTH engines produce the identical double with NO
+    output rounding at all — where round(pct, 4) was ambiguous (the
+    true value is a multiple of 2.5e-5, which CAN sit exactly on the
+    1e-4 half boundary)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
+    )
+    pct = F.expr("percentile(value_c, array(0.25, 0.5, 0.75))")
     return e.groupBy("event_type").agg(pct.alias("p")).select(
         "event_type",
-        F.round(F.col("p")[0], 4).alias("p25"),
-        F.round(F.col("p")[1], 4).alias("p50"),
-        F.round(F.col("p")[2], 4).alias("p75"),
+        (F.col("p")[0] / F.lit(100.0)).alias("p25"),
+        (F.col("p")[1] / F.lit(100.0)).alias("p50"),
+        (F.col("p")[2] / F.lit(100.0)).alias("p75"),
     )
 
 
 @query(
     "q_stats_agg",
     """
+    WITH m AS (
+        SELECT l_returnflag,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+            CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+            CAST(SUM(CAST(CAST(round(l_discount * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+            CAST(SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_quantity * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+            CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+            CAST(SUM(CAST(CAST(round(l_discount * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS DOUBLE) AS sdd,
+            CAST(SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS DOUBLE) AS sqp
+        FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-        round(stddev_samp(l_extendedprice), 2) AS sd_price,
-        round(var_samp(l_discount), 6) AS var_disc,
-        round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
-    FROM lineitem GROUP BY l_returnflag
+        CAST(floor(sqrt((spp - sp * sp / n) / (n - 1.0)) / 100.0 * 100.0
+             + 0.5) AS BIGINT) AS sd_price_e2,
+        CAST(floor((sdd - sd * sd / n) / (n - 1.0) / 10000.0 * 1000000.0
+             + 0.5) AS BIGINT) AS var_disc_e6,
+        CAST(floor((n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))
+             * 10000.0 + 0.5) AS BIGINT) AS corr_qty_price_e4,
+        CAST(floor((sqp - sq * sp / n) / (n - 1.0) / 10000.0 * 100.0
+             + 0.5) AS BIGINT) AS covar_qty_price_e2
+    FROM m
     """,
 )
 def q_stats_agg(spark, sf_dir):
-    """statistical aggregates (stddev/variance/correlation/covariance)."""
+    """statistical aggregates (stddev/variance/correlation/covariance)
+    from sufficient statistics over exact centi-unit integer sums:
+    each engine's built-in stddev/corr accumulates doubles in its own
+    order and algorithm (Welford merges vs two-pass), so their doubles
+    differ in ulps and ANY output quantizer can flip — here every sum
+    is a commutative-exact integer (DECIMAL(38) so squares never
+    overflow at scale), the derived expression is mirrored op-for-op
+    (bit-identical doubles), and outputs are half-up fixed-point
+    BIGINT (functions/exact.py)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dc = F.round(F.col("l_discount") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qc.cast(dec)).cast("double").alias("sq"),
+        F.sum(pc.cast(dec)).cast("double").alias("sp"),
+        F.sum(dc.cast(dec)).cast("double").alias("sd"),
+        F.sum((qc * qc).cast(dec)).cast("double").alias("sqq"),
+        F.sum((pc * pc).cast(dec)).cast("double").alias("spp"),
+        F.sum((dc * dc).cast(dec)).cast("double").alias("sdd"),
+        F.sum((qc * pc).cast(dec)).cast("double").alias("sqp"),
+    )
+    n, sq, sp, sd = F.col("n"), F.col("sq"), F.col("sp"), F.col("sd")
+    sqq, spp, sdd, sqp = (
+        F.col("sqq"), F.col("spp"), F.col("sdd"), F.col("sqp")
+    )
+    return m.select(
+        "l_returnflag",
+        exact.half_up_units(
+            F.sqrt((spp - sp * sp / n) / (n - F.lit(1.0))) / F.lit(100.0), 2
+        ).alias("sd_price_e2"),
+        exact.half_up_units(
+            (sdd - sd * sd / n) / (n - F.lit(1.0)) / F.lit(10000.0), 6
+        ).alias("var_disc_e6"),
+        exact.half_up_units(
+            (n * sqp - sq * sp)
+            / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)),
+            4,
+        ).alias("corr_qty_price_e4"),
+        exact.half_up_units(
+            (sqp - sq * sp / n) / (n - F.lit(1.0)) / F.lit(10000.0), 2
+        ).alias("covar_qty_price_e2"),
     )
 
 
@@ -3935,8 +4019,10 @@ def q_salted_join(spark, sf_dir):
     # magnitude inside the verdict window).
     """
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50_exact,
-           round(quantile_cont(value, 0.9), 4) AS p90_exact,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0
+               AS p50_exact,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) / 100.0
+               AS p90_exact,
            TRUE AS p50_ok, TRUE AS p90_ok
     FROM events GROUP BY event_type
     """,
@@ -3949,18 +4035,28 @@ def q_approx_quantiles(spark, sf_dir):
     the exact twin needs a per-group sort; at scale only the sketch
     runs and this query is the certificate that its error bound
     holds. Both sides share one groupBy exchange here."""
-    e = _t(spark, sf_dir, "events")
-    ex = F.expr(
-        "percentile(value, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91))"
+    e = _t(spark, sf_dir, "events").withColumn(
+        # exact centi-unit integers: quantile interpolation over ints
+        # at short-decimal fractions is exactly representable, so both
+        # engines emit the identical double with NO output rounding
+        # (q_percentiles has the full argument). 0.9 is not a binary
+        # short decimal, but (1-g)*a + g*b of centi-ints stays within
+        # 1 ulp and the mirrored expression keeps it bit-identical
+        # per engine pair tested; the graded value divides the same
+        # integer-derived double by 100.0 on both sides.
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
     )
-    ap = F.percentile_approx("value", [0.5, 0.9], 10000)
+    ex = F.expr(
+        "percentile(value_c, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91))"
+    )
+    ap = F.percentile_approx("value_c", [0.5, 0.9], 10000)
     return (
         e.groupBy("event_type")
         .agg(ex.alias("_ex"), ap.alias("_ap"))
         .select(
             "event_type",
-            F.round(F.col("_ex")[1], 4).alias("p50_exact"),
-            F.round(F.col("_ex")[4], 4).alias("p90_exact"),
+            (F.col("_ex")[1] / F.lit(100.0)).alias("p50_exact"),
+            (F.col("_ex")[4] / F.lit(100.0)).alias("p90_exact"),
             F.col("_ap")[0].between(F.col("_ex")[0], F.col("_ex")[2]).alias(
                 "p50_ok"
             ),

@@ -525,10 +525,10 @@ def windowed_linreg(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
         "n",
-        "slope",
-        "intercept",
-        "r2",
-        "corr",
+        "slope_e6",
+        "intercept_e6",
+        "r2_e6",
+        "corr_e6",
     )
 
 
@@ -932,7 +932,7 @@ def start_anomaly_query(
         )
         sink.process_batch(
             new.select(
-                "window_start", key, "n", "n_prev", "mean_prev", "z",
+                "window_start", key, "n", "n_prev", "mean_prev", "z_e4",
                 "is_anomaly",
             ),
             epoch,

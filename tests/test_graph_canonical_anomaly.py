@@ -135,7 +135,7 @@ class TestStreamingRateAnomaly:
         q.awaitTermination(300)
         got = {
             (r["window_start"], r[self.KEY]): (
-                r["n"], r["n_prev"], r["mean_prev"], r["z"], r["is_anomaly"]
+                r["n"], r["n_prev"], r["mean_prev"], r["z_e4"], r["is_anomaly"]
             )
             for r in sink.read_merged(spark).collect()
         }
@@ -153,7 +153,7 @@ class TestStreamingRateAnomaly:
         )
         exp = {
             (r["window_start"], r[self.KEY]): (
-                r["n"], r["n_prev"], r["mean_prev"], r["z"], r["is_anomaly"]
+                r["n"], r["n_prev"], r["mean_prev"], r["z_e4"], r["is_anomaly"]
             )
             for r in scored.collect()
         }

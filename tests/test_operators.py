@@ -983,11 +983,11 @@ class TestCorpus:
             "doc_id long, text string",
         )
         out = {
-            r["doc_id"]: (r["bigram_logprob"], r["n_bigrams"])
+            r["doc_id"]: (r["bigram_logprob_e6"], r["n_bigrams"])
             for r in corpus.bigram_logprob(df).collect()
         }
-        assert out[1] == (round(math.log(0.5) / 3, 6), 3)
-        assert out[2] == (round(math.log(0.5) / 2, 6), 2)
+        assert out[1] == (math.floor(math.log(0.5) / 3 * 1e6 + 0.5), 3)
+        assert out[2] == (math.floor(math.log(0.5) / 2 * 1e6 + 0.5), 2)
         assert 3 not in out  # single-word doc: no bigrams
 
     def test_repetition_stats_hand_computed(self, spark):
@@ -1221,7 +1221,7 @@ class TestCorpus:
         assert top1[2] == "common"
         r1 = next(r for r in out if r["doc_id"] == 1 and r["word"] == "rare")
         assert r1["tf"] == 1 and r1["df_docs"] == 1
-        assert abs(r1["tfidf"] - round(math.log(3.0), 4)) < 1e-9
+        assert r1["tfidf_e4"] == math.floor(math.log(3.0) * 1e4 + 0.5)
 
 
 class TestIncrementalDedup:
@@ -1567,7 +1567,9 @@ class TestDsirWeights:
         for doc_id, t in corpus_docs:
             ws = toks(t)
             if ws:
-                out[doc_id] = round(sum(lr[bucket(w)] for w in ws) / len(ws), 6)
+                out[doc_id] = math.floor(
+                    sum(lr[bucket(w)] for w in ws) / len(ws) * 1e6 + 0.5
+                )
         return out
 
     def test_matches_python_reference(self, spark):
@@ -1581,7 +1583,7 @@ class TestDsirWeights:
         df = spark.createDataFrame(corpus_docs, "doc_id long, text string")
         tgt = spark.createDataFrame([(t,) for t in target_docs], "text string")
         got = {
-            r["doc_id"]: r["dsir_logweight"]
+            r["doc_id"]: r["dsir_logweight_e6"]
             for r in corpus.dsir_weights(df, tgt).collect()
         }
         exp = self._py_reference(corpus_docs, target_docs)
@@ -1598,7 +1600,7 @@ class TestDsirWeights:
             [("alpha beta",), ("beta gamma alpha",)], "text string"
         )
         got = {
-            r["doc_id"]: r["dsir_logweight"]
+            r["doc_id"]: r["dsir_logweight_e6"]
             for r in corpus.dsir_weights(df, tgt).collect()
         }
         assert min(got[i] for i in (1, 2, 3)) > max(got[i] for i in (4, 5, 6))
@@ -1634,7 +1636,7 @@ class TestCcnetBuckets:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = corpus.ccnet_buckets(df).collect()
         assert len(out) == 9
-        by_score = sorted(out, key=lambda r: r["bigram_logprob"])
+        by_score = sorted(out, key=lambda r: r["bigram_logprob_e6"])
         tiers = [r["ppl_bucket"] for r in by_score]
         # tiers are monotone in score: tail <= middle <= head
         order = {"tail": 0, "middle": 1, "head": 2}
@@ -1656,7 +1658,7 @@ class TestCcnetBuckets:
         )
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         # the corpus itself is never globally sorted for the tier cut
-        assert "Sort [bigram_logprob" not in plan
+        assert "Sort [bigram_logprob" not in plan  # covers _e6 too
 
 
 class TestGroupedLinreg:
@@ -1673,13 +1675,17 @@ class TestGroupedLinreg:
             r["grp"]: r
             for r in grouped_linreg(df, "grp", F.col("x"), F.col("y")).collect()
         }
-        assert out["line"]["slope"] == 3.0 and out["line"]["intercept"] == 2.0
-        assert out["line"]["r2"] == 1.0 and out["line"]["corr"] == 1.0
-        assert out["flat_x"]["slope"] is None
+        # half-up micro-unit BIGINT outputs (functions/exact.py)
+        assert out["line"]["slope_e6"] == 3_000_000
+        assert out["line"]["intercept_e6"] == 2_000_000
+        assert out["line"]["r2_e6"] == 1_000_000
+        assert out["line"]["corr_e6"] == 1_000_000
+        assert out["flat_x"]["slope_e6"] is None
         # zero y-variance: slope/intercept defined (0, mean), r2/corr not
-        assert out["flat_y"]["slope"] == 0.0 and out["flat_y"]["intercept"] == 7.0
-        assert out["flat_y"]["r2"] is None and out["flat_y"]["corr"] is None
-        assert out["tiny"]["slope"] is None
+        assert out["flat_y"]["slope_e6"] == 0
+        assert out["flat_y"]["intercept_e6"] == 7_000_000
+        assert out["flat_y"]["r2_e6"] is None and out["flat_y"]["corr_e6"] is None
+        assert out["tiny"]["slope_e6"] is None
         # null-pair exclusion: only the complete row counts
         assert out["nulls"]["n"] == 1
 
@@ -1792,3 +1798,59 @@ class TestPmiPairs:
         assert [(r["tok_a"], r["tok_b"], r["n_ab"]) for r in out] == [
             ("p", "q", 2)
         ]
+
+
+class TestSmallSideGuards:
+    """Round-5: loud plan-time caps on the 'small side' assumptions
+    (operators/guards.py) — a misuse that silently OOMs or amplifies a
+    shuffle at 100 TB must fail at plan construction instead."""
+
+    def test_literal_dim_guard_trips_and_passes(self, spark):
+        from spamscope_spark.operators import guards
+        import pytest as _pt
+
+        guards.check_literal_dim(list(range(10)), "x")  # fine
+        with _pt.raises(ValueError, match="broadcast-dimension cap"):
+            guards.check_literal_dim(list(range(11)), "x", cap=10)
+
+    def test_cosine_topk_rejects_huge_query_set(self, spark):
+        import pytest as _pt
+
+        from spamscope_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with _pt.raises(ValueError, match="broadcast-dimension cap"):
+            similarity.cosine_topk(
+                emb, list(range(guards_cap() + 1)), k=1
+            )
+
+    def test_salted_join_rejects_big_replicated_side(self, spark):
+        import pytest as _pt
+
+        from spamscope_spark.operators import guards, skew
+
+        big = spark.range(100).withColumnRenamed("id", "k")
+        small = spark.range(50).withColumnRenamed("id", "k")
+        # normal path: fine under the default cap
+        assert (
+            skew.salted_join(
+                big, small, ["k"], salt_source=F.col("k"), n_salts=4
+            ).count()
+            == 50
+        )
+        # the same plan trips a tiny cap loudly, BEFORE any job runs
+        est = guards.plan_size_bytes(small)
+        assert est > 0
+        import unittest.mock as mock
+
+        with mock.patch.object(guards, "MAX_REPLICATED_BYTES", est * 2):
+            with _pt.raises(ValueError, match="replicated-shuffle cap"):
+                skew.salted_join(
+                    big, small, ["k"], salt_source=F.col("k"), n_salts=4
+                )
+
+
+def guards_cap() -> int:
+    from spamscope_spark.operators import guards
+
+    return guards.MAX_LITERAL_DIM

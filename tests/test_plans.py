@@ -237,3 +237,48 @@ def test_pmi_vocab_is_takeordered_not_global_window(spark):
     # rounded double remains in the schema
     assert dict(df.dtypes)["pmi_e6"] == "bigint"
     assert "pmi" not in dict(df.dtypes)
+
+
+def _round_calls_with_scale(txt: str) -> list[str]:
+    """All round(..., N) calls with N >= 1 in a plan string, scanned
+    with balanced parens (regexes miss nested calls)."""
+    out, i = [], 0
+    while True:
+        j = txt.find("round(", i)
+        if j < 0:
+            break
+        depth, k = 0, j + 5
+        while k < len(txt):
+            if txt[k] == "(":
+                depth += 1
+            elif txt[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        call = txt[j : k + 1]
+        i = k + 1
+        tail = call.rsplit(",", 1)[-1].strip(" )")
+        if tail.isdigit() and int(tail) > 0:
+            out.append(call[:120])
+    return out
+
+
+def test_no_engine_ambiguous_round_in_any_query_output(spark):
+    # round-5 doctrine gate (functions/exact.py): round(x, n) on DOUBLE
+    # is engine-ambiguous at half boundaries (Spark rounds the
+    # shortest-repr, DuckDB the exact binary), so NO registered query
+    # may carry one anywhere in its plan. Exact-decimal sums use
+    # round(x * 10^d) at scale 0 — integer recovery, never ambiguous —
+    # which this scan deliberately permits.
+    import __spark_entry__ as em
+
+    offenders = {}
+    for name, fn in em.queries().items():
+        df = fn(spark, SF)
+        calls = _round_calls_with_scale(
+            df._jdf.queryExecution().analyzed().toString()
+        )
+        if calls:
+            offenders[name] = calls
+    assert not offenders, offenders

@@ -36,16 +36,17 @@ class TestBM25:
         out = bm25_topk(
             spark, df, [("q1", "spark"), ("q1", "window")], k=10
         ).collect()
-        got = {r["doc_id"]: r["score"] for r in out}
+        got = {r["doc_id"]: r["score_e4"] for r in out}
 
         # hand formula: N=4, total_toks=12, avgdl=3; df(spark)=2, df(window)=2
         def s(tf, dl, dfreq, n=4, avgdl=3.0, k1=1.2, b=0.75):
             idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
             return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
 
-        assert got[0] == round(s(2, 4, 2) + s(1, 4, 2), 4)
-        assert got[1] == round(s(1, 2, 2), 4)
-        assert got[2] == round(s(3, 3, 2), 4)
+        e4 = lambda x: math.floor(x * 1e4 + 0.5)
+        assert got[0] == e4(s(2, 4, 2) + s(1, 4, 2))
+        assert got[1] == e4(s(1, 2, 2))
+        assert got[2] == e4(s(3, 3, 2))
         assert 3 not in got  # no query term → no row
 
     def test_rank_order_and_k(self, spark):
@@ -80,7 +81,7 @@ class TestRateAnomaly:
         assert len(out) == 1
         r = out[0]
         assert r["n"] == 50 and r["n_prev"] == 6 and r["mean_prev"] == 5.0
-        assert r["z"] is not None and r["z"] > 2
+        assert r["z_e4"] is not None and r["z_e4"] > 20_000
 
     def test_zero_variance_history_yields_no_row(self, spark):
         # constant rate: z is null (var=0) everywhere → no anomalies
@@ -101,7 +102,7 @@ class TestRateAnomaly:
         mean = sum(hist) / 6
         var = (sum(c * c for c in hist) - sum(hist) ** 2 / 6) / 5
         z = (30 - mean) / math.sqrt(var)
-        assert out[0]["z"] == round(z, 4)
+        assert out[0]["z_e4"] == math.floor(z * 1e4 + 0.5)
         assert out[0]["mean_prev"] == round(mean, 4)
 
 
