@@ -1130,7 +1130,7 @@ def tfidf_topk(
 ) -> DataFrame:
     """Top-k terms per document by tf-idf (tf * ln(N/df)) — the classic
     document-keyword surface a corpus-analysis pass produces. Returns
-    (doc_id, word, tf, df_docs, tfidf rounded to 4dp, rank).
+    (doc_id, word, tf, df_docs, tfidf_e4 half-up 1e-4-unit BIGINT, rank).
 
     Shape: explode → two partial-aggregated groupBys (term freq per doc,
     doc freq per word) → one equi-join on the word key → per-doc window

@@ -47,7 +47,7 @@ def kmv_distinct(
 ) -> DataFrame:
     """Per-group KMV distinct estimate vs the exact count.
 
-    Returns (group, n_exact, kmv_estimate, rel_err). When a group has
+    Returns (group, n_exact, kmv_estimate_e4, rel_err_e6). When a group has
     fewer than k distinct values the sketch IS the distinct set and the
     estimate is exact by construction."""
     h = _h48(F.col(value_col).cast("string"))
