@@ -1235,3 +1235,114 @@ class TestTwsSilence:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         out = sink.read_merged(spark)
         assert out.count() >= 0  # plumbing smoke; kernel parity above
+
+
+class TestTwsAnomaly:
+    """Round-5: the burst monitor's transformWithStateInPandas twin.
+    Kernel-vs-batch-operator parity runs everywhere; TWS plumbing is
+    gated on tws_available (as for sessionize/silence)."""
+
+    def test_kernel_matches_batch_operator(self, spark):
+        import datetime as dt
+
+        from spamscope_spark.operators import cep
+        from spamscope_spark.streaming import anomaly_kernel as ank
+
+        t0 = dt.datetime(2026, 2, 1)
+        counts = {
+            ("a", h): n
+            for h, n in enumerate([4, 6, 5, 7, 5, 6, 30, 5, 2, 40])
+        }
+        counts.update({("b", h): 5 for h in range(8)})  # zero variance
+        rows = [
+            (t0 + dt.timedelta(hours=h), k, n)
+            for (k, h), n in counts.items()
+        ]
+        cnt = spark.createDataFrame(
+            rows, "window_start timestamp, key string, n bigint"
+        )
+        batch = {
+            (r["key"], r["window_start"]): (
+                r["n"], r["n_prev"], r["mean_prev"], r["z_e4"],
+                bool(r["is_anomaly"]),
+            )
+            for r in cep.score_rate_windows(cnt, "key", 6)
+            .withColumn(
+                "is_anomaly",
+                F.coalesce(cep.anomaly_predicate(4, 2.0), F.lit(False)),
+            )
+            .collect()
+        }
+        b_us = 3600 * 1_000_000
+        t0_us = int(pd.Timestamp(t0).value // 1000)
+        got = {}
+        for k in ("a", "b"):
+            arrived = {
+                t0_us + h * b_us: n
+                for (kk, h), n in counts.items()
+                if kk == k
+            }
+            out, _ = ank.score_and_push(
+                ank.new_state(), arrived, 6, 4, 2.0
+            )
+            for w, n, m, mean_prev, z_e4, is_anom in out:
+                got[(k, pd.Timestamp(w, unit="us").to_pydatetime())] = (
+                    n, m, mean_prev, z_e4, is_anom
+                )
+        assert got == batch
+
+    def test_kernel_incremental_equals_oneshot_and_skips_replays(self):
+        from spamscope_spark.streaming import anomaly_kernel as ank
+
+        b = 3600 * 1_000_000
+        arrived = {h * b: n for h, n in enumerate([4, 6, 5, 7, 5, 6, 30])}
+        one, _ = ank.score_and_push(ank.new_state(), arrived, 6, 4, 2.0)
+        st = ank.new_state()
+        inc = []
+        for h in sorted(arrived):
+            out, st = ank.score_and_push(st, {h: arrived[h]}, 6, 4, 2.0)
+            inc.extend(out)
+        assert inc == one
+        # replaying an already-scored window emits nothing, state intact
+        out, st2 = ank.score_and_push(st, {0: 4}, 6, 4, 2.0)
+        assert out == [] and st2 == st
+
+    def test_tws_anomaly_end_to_end(self, spark, cfg):
+        from spamscope_spark.streaming.tws_sessionize import (
+            ROCKSDB_PROVIDER,
+            tws_available,
+        )
+
+        if not tws_available(spark):
+            pytest.skip("transformWithState / RocksDB state store unavailable")
+
+        from spamscope_spark.streaming.pipeline import read_turns_stream
+        from spamscope_spark.streaming.tws_anomaly import tws_anomaly
+
+        src = read_turns_stream(spark, cfg)
+        cnt = (
+            src.withWatermark("ts", cfg.watermark)
+            .groupBy(F.window("ts", "3600 seconds").alias("w"), F.col("role"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "role", "n")
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        try:
+            df = tws_anomaly(cnt, key="role")
+            sink = IdempotentSink(
+                cfg.output("anomaly_tws"), keys=["window_start", "key"]
+            )
+            q = (
+                df.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", cfg.checkpoint("anomaly_tws"))
+                .outputMode("append")
+                .queryName("anomaly_tws")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        assert sink.read_merged(spark).count() >= 0
