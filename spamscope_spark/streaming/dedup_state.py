@@ -41,6 +41,8 @@ from typing import Any
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from . import dedup_kernel as dk
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -94,32 +96,14 @@ def flag_duplicates(
             state.remove()
             return
         seen: list[str] = list(state.get[0]) if state.exists else []
-        seen_set = set(seen)
-        max_ts_ms = 0
-        # Arrow delivers a bucket's batch rows as MULTIPLE chunks when
-        # the group exceeds maxRecordsPerBatch (routine with bucketed
-        # keys); sorting chunks independently would break the
-        # "globally-first occurrence by (ts, conv_id, turn_idx)"
-        # guarantee across chunk boundaries — concat once, sort once
-        # (per-batch bucket size is bounded by the microbatch).
-        chunks = [p for p in pdfs if len(p)]
-        if chunks:
-            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-            if sort_cols:
-                pdf = pdf.sort_values(sort_cols, kind="mergesort")
-            if "ts" in pdf.columns:
-                max_ts_ms = int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
-            hashes = pdf[key]
-            # flagged iff seen in state OR a previous row in this batch
-            in_seen = hashes.isin(seen_set)
-            flagged = in_seen | hashes.duplicated(keep="first")
-            new = pd.unique(hashes[~in_seen])
-            seen.extend(new)
-            seen_set.update(new)
-            yield pdf.drop(columns=[_BUCKET_COL]).assign(is_filtered=flagged.values)
-        if len(seen) > max_per_bucket:  # oldest-first eviction (LRU analog)
-            drop = len(seen) - max_per_bucket
-            seen = seen[drop:]
+        # shared vectorized kernel (dedup_kernel.py) — also drives the
+        # transformWithStateInPandas twin (tws_dedup.py)
+        out, seen, max_ts_ms = dk.process_bucket(
+            seen, list(pdfs), key, sort_cols, drop_col=_BUCKET_COL
+        )
+        if out is not None:
+            yield out
+        seen = dk.evict(seen, max_per_bucket)
         state.update((seen,))
         # event-time TTL: evict once the watermark passes last-seen + ttl
         wm = state.getCurrentWatermarkMs()

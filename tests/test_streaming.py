@@ -1346,3 +1346,89 @@ class TestTwsAnomaly:
         finally:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         assert sink.read_merged(spark).count() >= 0
+
+
+class TestDedupKernel:
+    """Round-5: the flag-dedup bucket kernel extracted for the TWS
+    twin — pure-pandas tests of ordering, cross-chunk first-occurrence,
+    state carry, and eviction (the applyInPandasWithState path is
+    pinned end-to-end by test_dedup_flag_state_spans_batches)."""
+
+    def _pdf(self, rows):
+        return pd.DataFrame(rows, columns=["ts", "conv_id", "turn_idx", "sha1"])
+
+    def test_first_occurrence_across_chunks_and_state(self):
+        from spamscope_spark.streaming import dedup_kernel as dk
+
+        t = pd.Timestamp("2026-03-01")
+        c1 = self._pdf([(t, "a", 0, "h1"), (t, "a", 1, "h2")])
+        c2 = self._pdf([(t, "a", 2, "h1"), (t, "b", 0, "h3")])
+        out, seen, _ = dk.process_bucket([], [c1, c2], "sha1",
+                                         ["ts", "conv_id", "turn_idx"])
+        got = dict(zip(out["sha1"] + out["turn_idx"].astype(str),
+                       out["is_filtered"]))
+        assert got == {"h10": False, "h21": False, "h12": True, "h30": False}
+        assert seen == ["h1", "h2", "h3"]
+        # state carries: h1 in a later batch is flagged immediately
+        out2, seen2, _ = dk.process_bucket(
+            seen, [self._pdf([(t, "c", 0, "h1"), (t, "c", 1, "h4")])],
+            "sha1", ["ts", "conv_id", "turn_idx"],
+        )
+        assert list(out2["is_filtered"]) == [True, False]
+        assert seen2 == ["h1", "h2", "h3", "h4"]
+
+    def test_sort_order_decides_the_unflagged_copy(self):
+        from spamscope_spark.streaming import dedup_kernel as dk
+
+        t0 = pd.Timestamp("2026-03-01")
+        t1 = pd.Timestamp("2026-03-02")
+        # later row delivered first in the chunk; the EARLIER ts must win
+        pdf = self._pdf([(t1, "a", 0, "h"), (t0, "b", 0, "h")])
+        out, _, _ = dk.process_bucket([], [pdf], "sha1",
+                                      ["ts", "conv_id", "turn_idx"])
+        by_conv = dict(zip(out["conv_id"], out["is_filtered"]))
+        assert by_conv == {"b": False, "a": True}
+
+    def test_eviction_oldest_first(self):
+        from spamscope_spark.streaming import dedup_kernel as dk
+
+        assert dk.evict(["a", "b", "c", "d"], 2) == ["c", "d"]
+        assert dk.evict(["a"], 2) == ["a"]
+
+    def test_tws_dedup_end_to_end(self, spark, cfg):
+        from spamscope_spark.streaming.tws_sessionize import (
+            ROCKSDB_PROVIDER,
+            tws_available,
+        )
+
+        if not tws_available(spark):
+            pytest.skip("transformWithState / RocksDB state store unavailable")
+
+        from spamscope_spark.streaming.pipeline import read_turns_stream
+        from spamscope_spark.streaming.tws_dedup import tws_flag_duplicates
+        from spamscope_spark.operators.enrich import enrich_turns
+
+        src = enrich_turns(
+            read_turns_stream(spark, cfg).withWatermark("ts", cfg.watermark),
+            with_shingle=False,
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        try:
+            df = tws_flag_duplicates(src, key="sha1")
+            sink = IdempotentSink(
+                cfg.output("dedup_tws"), keys=["conv_id", "turn_idx"]
+            )
+            q = (
+                df.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", cfg.checkpoint("dedup_tws"))
+                .outputMode("append")
+                .queryName("dedup_tws")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        assert sink.read_merged(spark).count() >= 0
