@@ -282,3 +282,45 @@ def test_no_engine_ambiguous_round_in_any_query_output(spark):
         if calls:
             offenders[name] = calls
     assert not offenders, offenders
+
+
+def test_unpartitioned_windows_only_over_bounded_aggregates(spark):
+    # regression guard for the PMI-class scale killer fixed in r5: an
+    # UNPARTITIONED Window forces its whole input through one task, so
+    # it is only acceptable over provably bounded tables. Exactly two
+    # registered queries do that by design over bounded aggregate
+    # tables — q_dsir_weights (model table, <= HASH_DIM rows) and
+    # q_mixture_weights (per-language aggregate, <= |langs| rows) —
+    # and q_event_paths ranks AFTER a TakeOrdered limit(k), so its
+    # window input is <= k rows by construction (cep.py::top_paths).
+    # Any new unpartitioned window must either be removed
+    # (orderBy().limit() compiles to TakeOrdered) or justified here.
+    import re
+
+    import __spark_entry__ as em
+
+    ALLOWED = {"q_dsir_weights", "q_mixture_weights", "q_event_paths"}
+    unpartitioned = re.compile(
+        r"windowspecdefinition\((?:[^,()]+ (?:ASC|DESC) [^,()]+, )*"
+        r"specifiedwindowframe"
+    )
+    offenders = {}
+    for name, fn in em.queries().items():
+        df = fn(spark, SF)
+        txt = df._jdf.queryExecution().executedPlan().toString()
+        for line in txt.splitlines():
+            if "windowspecdefinition(" not in line:
+                continue
+            # a partitioned spec lists partition columns BEFORE any
+            # ordering/frame: windowspecdefinition(col#1, ... ASC ...,
+            # frame). Unpartitioned specs begin with ordering or the
+            # frame directly.
+            for m in re.finditer(r"windowspecdefinition\(([^)]*?)specifiedwindowframe", line):
+                head = m.group(1)
+                first = head.split(",")[0].strip() if head.strip() else ""
+                has_partition_col = bool(first) and not (
+                    " ASC" in first or " DESC" in first
+                )
+                if not has_partition_col and name not in ALLOWED:
+                    offenders.setdefault(name, line.strip()[:140])
+    assert not offenders, offenders
