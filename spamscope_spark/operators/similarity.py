@@ -557,3 +557,101 @@ def semantic_dedup_pairs(
             exact_fns.half_up_units(F.col("_cos"), 6).alias("cos_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss) — the dimensionality-
+# reduction step a 100 TB similarity pipeline runs BEFORE indexing:
+# d-dim embeddings -> k-dim sketches with pairwise distances preserved
+# within (1 ± eps) for k = O(log n / eps^2), shrinking both the ANN
+# index and every downstream distance computation by d/k.
+# ---------------------------------------------------------------------------
+
+
+def _rademacher_matrix(dim: int, out_dim: int, seed: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5 parity — built
+    driver-side as plan-time CONSTANTS, so both engines evaluate the
+    identical literal array (no RNG, no engine asymmetry; Achlioptas
+    2003 shows Rademacher entries satisfy the JL lemma)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"rp:{seed}:{i}:{j}".encode()).hexdigest()[0]
+            in "01234567"
+            else -1
+            for j in range(dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, coord, value_e6): the k-dim JL sketch in long form, one row
+    per output coordinate, values as half-up micro-unit BIGINT.
+
+    Shape (100 TB): a narrow per-row map — each coordinate is one
+    zip_with/aggregate fold of the vector against a ±1 literal array
+    inside whole-stage codegen; zero shuffles, zero joins, no UDF.
+    Determinism: the fold visits array positions in index order on
+    both engines and the matrix is a shared plan-time constant, so the
+    doubles are bit-identical cross-engine; sqrt(out_dim) is
+    IEEE-exact. Long form keeps the output schema fixed as out_dim
+    varies (and hashes cell-exact under the driver comparator)."""
+    if dim is None:
+        dim = _dim_from_metadata(emb, vec_col)
+    planes = _rademacher_matrix(dim, out_dim, seed)
+    inv = 1.0 / float(out_dim) ** 0.5
+    coords = F.array(
+        *[
+            exact_fns.half_up_units(
+                dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(s)) for s in row]),
+                )
+                * F.lit(inv),
+                6,
+            )
+            for row in planes
+        ]
+    )
+    return (
+        emb.select(F.col(id_col), F.posexplode(coords).alias("coord", "value_e6"))
+        .select(id_col, F.col("coord").cast("int").alias("coord"), "value_e6")
+    )
+
+
+def sql_random_projection(
+    table: str,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin — identical literal matrix, identical index-order
+    fold (list_sum of the elementwise product visits positions left to
+    right, as Spark's aggregate fold does)."""
+    planes = _rademacher_matrix(dim, out_dim, seed)
+    inv = 1.0 / float(out_dim) ** 0.5
+    rows = []
+    for i, row in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(s)}" for s in row) + "]"
+        dot = (
+            "list_aggregate(list_transform(list_zip(CAST({v} AS DOUBLE[]),"
+            " {m}), z -> z[1] * z[2]), 'sum')"
+        ).format(v=vec_col, m=lit)
+        rows.append(
+            f"SELECT {id_col}, {i} AS coord,"
+            f" {exact_fns.sql_half_up_units(f'({dot}) * {inv!r}', 6)}"
+            f" AS value_e6 FROM {table}"
+        )
+    return " UNION ALL ".join(rows)

@@ -1292,6 +1292,23 @@ NEARDUP_THRESHOLD = 0.9
 
 
 @query(
+    "q_random_projection",
+    similarity.sql_random_projection("embeddings", dim=64, out_dim=8),
+)
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (new r5): 64-dim
+    embeddings -> 8-dim Rademacher sketches, the dimensionality-
+    reduction step ahead of ANN indexing at 100 TB (index and distance
+    costs shrink by d/k while pairwise distances hold within 1 +/- eps,
+    Achlioptas 2003). Narrow per-row codegen fold against a plan-time
+    constant +/-1 matrix — zero shuffles, zero joins, no UDF; output is
+    half-up micro-unit BIGINT in long form
+    (operators/similarity.py::random_projection)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, out_dim=8, dim=64)
+
+
+@query(
     "q_cosine_topk",
     similarity.sql_cosine_topk("embeddings", _QUERY_IDS, k=5),
 )

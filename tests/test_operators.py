@@ -1854,3 +1854,79 @@ def guards_cap() -> int:
     from spamscope_spark.operators import guards
 
     return guards.MAX_LITERAL_DIM
+
+
+class TestRandomProjection:
+    """Round-5: JL random projection — distance preservation and the
+    narrow plan contract."""
+
+    def test_scaled_copy_sketches_scale_exactly(self, spark):
+        import pandas as pd
+
+        from spamscope_spark.operators import similarity
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding").limit(20)
+        doubled = emb.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0))
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        out = similarity.random_projection(
+            emb.unionByName(doubled), out_dim=4, dim=64
+        ).toPandas()
+        base = out[out.vec_id < 10_000_000].set_index(["vec_id", "coord"])
+        dup = out[out.vec_id >= 10_000_000]
+        # projection is linear: sketch(2v) == 2*sketch(v) up to the e6
+        # quantization (+/-1 from independent half-up rounding)
+        for _, r in dup.iterrows():
+            b = base.loc[(r.vec_id - 10_000_000, r.coord), "value_e6"]
+            assert abs(int(r.value_e6) - 2 * int(b)) <= 1, (r.vec_id, r.coord)
+
+    def test_distances_preserved_within_jl_bound(self, spark):
+        import itertools
+        import math
+
+        from spamscope_spark.operators import similarity
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(30)
+        vecs = {
+            r["vec_id"]: r["embedding"] for r in emb.collect()
+        }
+        sk = similarity.random_projection(emb, out_dim=16, dim=64).collect()
+        sketches: dict = {}
+        for r in sk:
+            sketches.setdefault(r["vec_id"], {})[r["coord"]] = (
+                r["value_e6"] / 1e6
+            )
+
+        def dist(a, b):
+            return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+        ratios = []
+        for i, j in itertools.combinations(sorted(vecs), 2):
+            d0 = dist(vecs[i], vecs[j])
+            s_i = [sketches[i][c] for c in range(16)]
+            s_j = [sketches[j][c] for c in range(16)]
+            if d0 > 0:
+                ratios.append(dist(s_i, s_j) / d0)
+        # k=16 gives a loose eps; the MEAN ratio must sit near 1 and
+        # no pair may collapse or blow up pathologically
+        mean = sum(ratios) / len(ratios)
+        assert 0.8 < mean < 1.2, mean
+        assert all(0.3 < r < 2.5 for r in ratios), (min(ratios), max(ratios))
+
+    def test_plan_is_narrow(self, spark):
+        from spamscope_spark.operators import similarity
+        from spamscope_spark.plans import explain
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        txt = explain.plan_text(
+            similarity.random_projection(emb, out_dim=8, dim=64)
+        )
+        assert "Exchange" not in txt
+        assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
