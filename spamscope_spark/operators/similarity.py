@@ -655,3 +655,56 @@ def sql_random_projection(
             f" AS value_e6 FROM {table}"
         )
     return " UNION ALL ".join(rows)
+
+
+def project_vectors(
+    emb: DataFrame,
+    out_dim: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, sketch): the raw (unquantized) JL sketch as array<double>,
+    for feeding an ANN index — the compose-with-indexing face of
+    random_projection (same plan-time constant matrix, same narrow
+    codegen fold)."""
+    if dim is None:
+        dim = _dim_from_metadata(emb, vec_col)
+    planes = _rademacher_matrix(dim, out_dim, seed)
+    inv = 1.0 / float(out_dim) ** 0.5
+    sketch = F.array(
+        *[
+            dot(F.col(vec_col), F.array(*[F.lit(float(s)) for s in row]))
+            * F.lit(inv)
+            for row in planes
+        ]
+    )
+    return emb.select(F.col(id_col), sketch.alias(vec_col))
+
+
+def sql_project_vectors_cte(
+    source_sql: str,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of project_vectors as a SELECT over ``source_sql``:
+    one literal-matrix fold per coordinate, sketch emitted as a LIST."""
+    planes = _rademacher_matrix(dim, out_dim, seed)
+    inv = 1.0 / float(out_dim) ** 0.5
+    coords = []
+    for row in planes:
+        lit = "[" + ", ".join(f"{float(s)}" for s in row) + "]"
+        coords.append(
+            "list_aggregate(list_transform(list_zip(CAST({v} AS DOUBLE[]),"
+            " {m}), z -> z[1] * z[2]), 'sum') * {inv!r}".format(
+                v=vec_col, m=lit, inv=inv
+            )
+        )
+    return (
+        f"SELECT {id_col}, [{', '.join(coords)}] AS {vec_col}"
+        f" FROM ({source_sql})"
+    )

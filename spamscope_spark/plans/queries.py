@@ -1353,10 +1353,11 @@ SQL_ANN_EVAL_EMB = f"""
 """
 
 
-def _sql_ann_recall1() -> str:
+def _sql_ann_recall1(source_sql: str | None = None) -> str:
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    src = SQL_ANN_EVAL_EMB if source_sql is None else source_sql
     return f"""
-    WITH planted AS ({SQL_ANN_EVAL_EMB}),
+    WITH planted AS ({src}),
     flat AS (
         SELECT vec_id AS vid,
                generate_subscripts(embedding, 1) AS pos,
@@ -1412,6 +1413,31 @@ def q_ann_ivf(spark, sf_dir):
         emb, ANN_QUERY_IDS, k=1, n_list=8, n_probe=2, n_iter=2
     )
     return similarity.ann_recall(emb, ANN_QUERY_IDS, k=1, ann_topk=ann)
+
+
+@query(
+    "q_ann_sketch",
+    _sql_ann_recall1(
+        similarity.sql_project_vectors_cte(
+            SQL_ANN_EVAL_EMB, dim=64, out_dim=8
+        )
+    ),
+)
+def q_ann_sketch(spark, sf_dir):
+    """the full 100 TB similarity scale path COMPOSED (new r5): project
+    64-dim embeddings to 8-dim JL sketches (project_vectors — index and
+    distance costs shrink 8x), then LSH-index and query IN SKETCH
+    SPACE. Planted exact copies sketch identically (same fold, same
+    constant matrix), so they share every sketch-space bucket and sit
+    at cosine 1.0 — recall@1 against the exact sketch-space top-1 is
+    provably 1.0, and the oracle recomputes that exact top-1 over its
+    own projection CTE (operators/similarity.py::project_vectors)."""
+    emb = ann_eval_embeddings(_t(spark, sf_dir, "embeddings"))
+    sk = similarity.project_vectors(emb, out_dim=8, dim=64)
+    ann = similarity.ann_lsh_topk(
+        sk, ANN_QUERY_IDS, k=1, n_planes=4, n_probe=3, dim=8
+    )
+    return similarity.ann_recall(sk, ANN_QUERY_IDS, k=1, ann_topk=ann)
 
 
 # Near-dup planting: the driver's embeddings fixture is 500-2000 random

@@ -184,7 +184,7 @@ def test_ann_graded_recall_is_one_on_planted_copies(spark):
     # must be exactly 1.0 for every planted query, both index families
     from spamscope_spark.plans import queries as Q
 
-    for fn in (Q.q_ann_lsh, Q.q_ann_ivf):
+    for fn in (Q.q_ann_lsh, Q.q_ann_ivf, Q.q_ann_sketch):
         rows = fn(spark, SF).collect()
         assert len(rows) == len(Q.ANN_QUERY_IDS)
         assert all(r["recall_at_k"] == 1.0 for r in rows), fn.__name__
