@@ -324,3 +324,15 @@ def test_unpartitioned_windows_only_over_bounded_aggregates(spark):
                 if not has_partition_col and name not in ALLOWED:
                     offenders.setdefault(name, line.strip()[:140])
     assert not offenders, offenders
+
+
+def test_ann_sketch_composes_narrow_projection_with_broadcast_index(spark):
+    # the composed scale path (q_ann_sketch) must keep its two halves'
+    # plan contracts: the projection adds NO exchange of its own, and
+    # the sketch-space index probe broadcasts the tiny query side
+    from spamscope_spark.plans.queries import q_ann_sketch
+
+    df = q_ann_sketch(spark, SF)
+    txt = explain.plan_text(df)
+    assert explain.has_broadcast_join(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
