@@ -286,3 +286,107 @@ def sql_phrase_search_topk(
         FROM m WHERE n_occurrences > 0
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index construction (positional postings) — the search-engine
+# ingestion shape: ES/Lucene builds exactly this per shard when the
+# reference indexes mails for analysts (src/bolts/output_elasticsearch
+# .py:30-107); at corpus scale it is also how phrase/proximity search
+# stops being a per-query corpus scan.
+# ---------------------------------------------------------------------------
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(term, df_docs, n_occurrences, postings): the positional
+    inverted index in deterministic text form — postings is
+    "doc:pos1,pos2 doc:pos…" with docs ascending and 0-based token
+    positions ascending, so the cell is byte-identical cross-engine.
+
+    Shape (100 TB): posexplode → per-(term, doc) position fold (one
+    shuffle, map-side partial lists are per-doc-bounded) → per-term
+    assembly (second shuffle on the term key). `max_df` drops
+    stopword-class terms EXPLICITLY (their postings are corpus-sized;
+    real indexers elide or impact-sort them) — a loud bound, not a
+    silent truncation; `min_df` drops hapax noise. Struct array_sort
+    orders by doc id, so assembly never needs a global sort."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_tokens(text_col)).alias("pos", "term"),
+    )
+    per_doc = toks.groupBy("term", "doc").agg(
+        F.sort_array(F.collect_list("pos")).alias("poss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    entry = F.concat(
+        F.col("doc").cast("string"),
+        F.lit(":"),
+        F.array_join(
+            F.transform(F.col("poss"), lambda p: p.cast("string")), ","
+        ),
+    )
+    per_term = (
+        per_doc.select("term", "doc", "n", entry.alias("e"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_docs"),
+            F.sum("n").alias("n_occurrences"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc"), F.col("e")))
+                    ),
+                    lambda x: x["e"],
+                ),
+                " ",
+            ).alias("postings"),
+        )
+        .where(F.col("df_docs") >= min_df)
+    )
+    if max_df is not None:
+        per_term = per_term.where(F.col("df_docs") <= max_df)
+    return per_term.select("term", "df_docs", "n_occurrences", "postings")
+
+
+def sql_build_postings(
+    table: str,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin — same tokenizer, same 0-based positions, same
+    deterministic assembly order."""
+    toks = (
+        f"list_filter(string_split_regex(lower(trim(coalesce({text_expr},"
+        f" ''))), '\\s+'), x -> x <> '')"
+    )
+    cap = f"AND COUNT(*) <= {max_df}" if max_df is not None else ""
+    return f"""
+    WITH d AS (
+        SELECT {id_col} AS doc, {toks} AS w FROM {table}
+    ), toks AS (
+        SELECT doc, i - 1 AS pos, w[i] AS term
+        FROM d, unnest(range(1, len(w) + 1)) AS t(i)
+        WHERE len(w) >= 1
+    ), per_doc AS (
+        SELECT term, doc,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               doc || ':' || string_agg(CAST(pos AS VARCHAR), ','
+                                        ORDER BY pos) AS e
+        FROM toks GROUP BY term, doc
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df_docs,
+           CAST(SUM(n) AS BIGINT) AS n_occurrences,
+           string_agg(e, ' ' ORDER BY doc) AS postings
+    FROM per_doc
+    GROUP BY term
+    HAVING COUNT(*) >= {min_df} {cap}
+    """

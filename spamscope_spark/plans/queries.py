@@ -3642,6 +3642,46 @@ BM25_QUERY_TERMS = [
 ]
 
 
+# The fixture text is template-generated (~31 distinct terms: one
+# mid-band, thirty corpus-wide) — raw, the df window [2, 60] would be
+# near-empty. The derived input appends one hapax term (u<doc_id>,
+# elided by min_df) and one group term (g<doc_id%20>, mid-band df) per
+# doc, so the bounds do visible work: min_df elides every u-term at
+# all scales; the g-terms survive with df = |subset|/20; and max_df
+# (1000) additionally drops the thirty template terms once the subset
+# passes 1000 docs (sf0.1: 21 rows vs sf0.01's 51) — the stopword
+# elision engaging exactly when postings become corpus-sized.
+_SQL_POSTINGS_INPUT = (
+    "(SELECT doc_id, coalesce(text, '') || ' u' || CAST(doc_id AS VARCHAR)"
+    " || ' g' || CAST(doc_id % 20 AS VARCHAR) AS text"
+    " FROM documents WHERE doc_id % 3 = 0)"
+)
+
+
+@query(
+    "q_inverted_index",
+    search.sql_build_postings(_SQL_POSTINGS_INPUT, min_df=2, max_df=1000),
+)
+def q_inverted_index(spark, sf_dir):
+    """positional inverted-index construction (new r5): the ES/Lucene
+    ingestion shape the reference's output bolt feeds — per-term
+    postings "doc:pos1,pos2 …" in deterministic byte-identical text
+    form, with min_df hapax elision and an EXPLICIT max_df stopword
+    bound (their postings are corpus-sized; a loud cap, never a silent
+    truncation). Two shuffles total: the per-(term,doc) position fold
+    and the per-term assembly (operators/search.py::build_postings)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    d = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" u"), F.col("doc_id").cast("string"),
+            F.lit(" g"), (F.col("doc_id") % 20).cast("string"),
+        ).alias("text"),
+    )
+    return search.build_postings(d, min_df=2, max_df=1000)
+
+
 @query(
     "q_bm25_search",
     search.sql_bm25_topk(
@@ -4060,12 +4100,13 @@ def q_salted_join(spark, sf_dir):
     # that each sketch landed inside a +/-0.01 rank window around its
     # target (accuracy=10000 => rank error <= 1e-4, two orders of
     # magnitude inside the verdict window).
-    """
+    f"""
     SELECT event_type,
            quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0
                AS p50_exact,
-           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) / 100.0
-               AS p90_exact,
+           {exact.sql_half_up_units(
+               "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9)"
+               " / 100.0", 4)} AS p90_e4,
            TRUE AS p50_ok, TRUE AS p90_ok
     FROM events GROUP BY event_type
     """,
@@ -4082,11 +4123,13 @@ def q_approx_quantiles(spark, sf_dir):
         # exact centi-unit integers: quantile interpolation over ints
         # at short-decimal fractions is exactly representable, so both
         # engines emit the identical double with NO output rounding
-        # (q_percentiles has the full argument). 0.9 is not a binary
-        # short decimal, but (1-g)*a + g*b of centi-ints stays within
-        # 1 ulp and the mirrored expression keeps it bit-identical
-        # per engine pair tested; the graded value divides the same
-        # integer-derived double by 100.0 on both sides.
+        # (q_percentiles has the full argument). p50's interpolation
+        # fraction is 0 or 0.5 — exact binary, so its double is exact
+        # and emitted raw; 0.9 is NOT a binary short decimal, so p90's
+        # double can differ by an ulp if the engines associate the
+        # interpolation differently — it is therefore emitted as
+        # half-up 1e-4-unit BIGINT (functions/exact.py), a full
+        # half-unit of slack around the quarter-centi value grid.
         "value_c", F.round(F.col("value") * 100).cast("bigint")
     )
     ex = F.expr(
@@ -4099,7 +4142,9 @@ def q_approx_quantiles(spark, sf_dir):
         .select(
             "event_type",
             (F.col("_ex")[1] / F.lit(100.0)).alias("p50_exact"),
-            (F.col("_ex")[4] / F.lit(100.0)).alias("p90_exact"),
+            exact.half_up_units(
+                F.col("_ex")[4] / F.lit(100.0), 4
+            ).alias("p90_e4"),
             F.col("_ap")[0].between(F.col("_ex")[0], F.col("_ex")[2]).alias(
                 "p50_ok"
             ),

@@ -238,3 +238,33 @@ class TestContainmentDecon:
         bench = [(1, "p q")]
         rows = self._run(spark, train, bench)
         assert rows[0]["n_shared"] == 1 and rows[0]["n_bench"] == 1
+
+
+class TestBuildPostings:
+    """Round-5: positional inverted-index construction."""
+
+    def test_positions_docs_and_bounds(self, spark):
+        from spamscope_spark.operators.search import build_postings
+
+        df = spark.createDataFrame(
+            [(2, "a b a"), (1, "b c"), (3, "c")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["term"]: (r["df_docs"], r["n_occurrences"], r["postings"])
+            for r in build_postings(df).collect()
+        }
+        # 0-based positions, positions ascending, docs ascending
+        assert out["a"] == (1, 2, "2:0,2")
+        assert out["b"] == (2, 2, "1:0 2:1")
+        assert out["c"] == (2, 2, "1:1 3:0")
+        # min_df elides hapax; max_df elides corpus-wide terms — loudly
+        kept = {
+            r["term"]
+            for r in build_postings(df, min_df=2, max_df=1).collect()
+        }
+        assert kept == set()
+        kept2 = {
+            r["term"] for r in build_postings(df, min_df=2).collect()
+        }
+        assert kept2 == {"b", "c"}
