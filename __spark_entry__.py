@@ -73,6 +73,7 @@ _GRADE_FIRST = [
     # the composed project-then-LSH-index scale path, and positional
     # inverted-index construction
     "q_random_projection", "q_ann_sketch", "q_inverted_index",
+    "q_phrase_postings",
     # (a) output values/schema changed in round 5 — must re-grade
     "q_pmi_pairs", "q_crosstab_chi2", "q_kmv_distinct",
     "q_embedding_neardup", "q_semantic_dedup", "q_stats_agg",
@@ -92,7 +93,6 @@ _GRADE_FIRST = [
     "q_salted_join",
     # (c) untouched greens with the oldest driver rows (r1-era)
     "q_string_funcs", "q_doc_hashes", "q_dedup_flag", "q_url_extract",
-    "q_set_ops",
 ]
 # Tail: every remaining query is hash-green in a prior CORRECTNESS
 # artifact, its outputs are untouched by the round-5 sweep, and both

@@ -3738,6 +3738,31 @@ def q_phrase_search(spark, sf_dir):
 
 
 @query(
+    "q_phrase_postings",
+    # deliberately the SCAN-based strategy's oracle: two independent
+    # physical plans (array window scan vs positional-postings join)
+    # must produce the identical ranked answer
+    search.sql_phrase_search_topk(
+        f"(SELECT doc_id, {SQL_DERIVED_TEXT} AS text FROM documents)",
+        PHRASE_QUERIES,
+        k=10,
+    ),
+)
+def q_phrase_postings(spark, sf_dir):
+    """exact phrase top-10 via the positional-postings JOIN (new r5) —
+    the strategy that wins when the phrase set is huge: one broadcast
+    (term, offset) dimension, one grouped alignment join (occurrence
+    at start s iff all |phrase| offsets collect), never |docs| x
+    |phrases| window scans. Graded against the ARRAY-SCAN strategy's
+    oracle — two independent physical plans, one answer
+    (operators/search.py::phrase_search_via_postings)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", derived_text().alias("text")
+    )
+    return search.phrase_search_via_postings(spark, d, PHRASE_QUERIES, k=10)
+
+
+@query(
     "q_rate_anomaly",
     cep.sql_rate_anomaly("events", "event_type", "ts"),
 )
