@@ -60,6 +60,11 @@ AUDITED = {
     "q_event_paths": "ordered path agg: struct-sort after collection (deterministic), path counts over |keys| rows, top-k via TakeOrderedAndProject (no global sort)",
     "q_phrase_search": "match_phrase as codegen'd array scan: tokenize in the scan projection, BroadcastNestedLoopJoin against the tiny phrase dim, zero exchanges before the bounded per-query top-k window",
     "q_containment_decon": "containment decon: distinct-shingle explode joins the BROADCAST benchmark side map-side; pair agg bounded by matches; bench-size join is broadcast too — corpus never self-joins, never shuffles raw text",
+    "q_pmi_pairs": "PMI collocations (r5 fix): vocab cut AND final rank are TakeOrderedAndProject — no unpartitioned Window, no Exchange SinglePartition; vocab filter broadcast ahead of the pair self-join",
+    "q_random_projection": "JL sketch: one narrow codegen fold per coordinate against a plan-time constant matrix — zero exchanges, zero joins, no UDF",
+    "q_ann_sketch": "composed scale path: projection adds no exchange; sketch-space LSH probe broadcasts the tiny query side",
+    "q_inverted_index": "positional postings: per-(term,doc) position fold + per-term assembly — exactly two exchanges; array_sort assembly, no global sort",
+    "q_phrase_postings": "phrase via postings: broadcast (term, offset) dim semi-filters the token stream map-side; ONE grouped alignment join — cost independent of phrase count",
 }
 
 
